@@ -1,0 +1,41 @@
+"""Per-image algorithms (ref ``src/vw/Image/Algorithms.h:33-266`` and
+``AlgorithmFunctions.h``): clamp / normalize / threshold / fill, grassfire
+distance, blob labeling helpers live in :mod:`visionworkbench_tpu.image.morphology`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def clamp(image, low=0.0, high=1.0):
+    """(ref ``clamp``, Algorithms.h:60)"""
+    return jnp.clip(image, low, high)
+
+
+def normalize(image, new_low=0.0, new_high=1.0, old_low=None, old_high=None):
+    """Rescale [old_low, old_high] -> [new_low, new_high]; old range defaults to
+    the image min/max (ref ``normalize``, Algorithms.h:110-160)."""
+    image = jnp.asarray(image)
+    if old_low is None:
+        old_low = jnp.min(image)
+    if old_high is None:
+        old_high = jnp.max(image)
+    old_range = old_high - old_low
+    # Degenerate range maps everything to new_low, as the reference does.
+    scale = jnp.where(old_range == 0, 0.0, (new_high - new_low) /
+                      jnp.where(old_range == 0, 1.0, old_range))
+    return (image - old_low) * scale + new_low
+
+
+def threshold(image, thresh=0.0, low=0.0, high=1.0):
+    """Binary threshold: > thresh -> high else low (ref ``threshold``,
+    Algorithms.h:206-240)."""
+    return jnp.where(jnp.asarray(image) > thresh, high, low)
+
+
+def fill(shape_or_image, value, dtype=jnp.float32):
+    """Constant image (ref eager ``fill``, AlgorithmFunctions.h)."""
+    if hasattr(shape_or_image, "shape"):
+        return jnp.full(shape_or_image.shape, value, shape_or_image.dtype)
+    return jnp.full(shape_or_image, value, dtype)

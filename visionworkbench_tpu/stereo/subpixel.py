@@ -1,0 +1,114 @@
+"""Subpixel disparity refinement.
+
+Parabola subpixel (ref ``src/vw/Stereo/ParabolaSubpixelView.cc:40-344``):
+re-evaluate the SAD cost at the 3x3 disparity neighborhood of each integer
+disparity, fit the 2D quadratic ``z = ax^2 + by^2 + cxy + dx + ey + f`` with
+the reference's precomputed 6x9 pseudoinverse (``ParabolaSubpixelView.h:77-89``),
+and move to the stationary point; reject offsets with norm >= 5
+(``MAX_SUBPIXEL_SHIFT``, ``.cc:254``) and keep the integer disparity where all
+nine costs are equal.
+
+TPU design: instead of the reference's quadtree zones + per-zone shifted box
+sums (data-dependent shapes), the nine cost surfaces are evaluated densely by
+gathering right-image samples at ``p + v + d(p)`` for every window offset
+``v`` in the (k+2)^2 super-window and accumulating ``|L(p+w) - S_{w+delta}(p)|``
+— O(1) w.r.t. the disparity search range, static shapes, all VPU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionworkbench_tpu.core.exceptions import ArgumentErr
+from visionworkbench_tpu.stereo.correlation import DisparityMap
+from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
+
+# Pseudoinverse of A where rows of A are [x^2 y^2 xy x y 1] at the nine
+# (x, y) in [-1,1]^2, x fastest (ref ParabolaSubpixelView.h:83-88).
+_PINV_A = np.array([
+    [1/6, -1/3, 1/6, 1/6, -1/3, 1/6, 1/6, -1/3, 1/6],    # a
+    [1/6, 1/6, 1/6, -1/3, -1/3, -1/3, 1/6, 1/6, 1/6],    # b
+    [1/4, 0.0, -1/4, 0.0, 0.0, 0.0, -1/4, 0.0, 1/4],     # c
+    [-1/6, 0.0, 1/6, -1/6, 0.0, 1/6, -1/6, 0.0, 1/6],    # d
+    [-1/6, -1/6, -1/6, 0.0, 0.0, 0.0, 1/6, 1/6, 1/6],    # e
+    [-1/9, 2/9, -1/9, 2/9, 5/9, 2/9, -1/9, 2/9, -1/9],   # f
+], dtype=np.float32)
+
+MAX_SUBPIXEL_SHIFT = 5.0
+
+
+@functools.partial(jax.jit, static_argnames=("kw", "kh"))
+def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
+    h, w = left_f.shape
+    k2w, k2h = kw // 2, kh // 2
+    dxp = int_disp[..., 0].astype(jnp.int32)
+    dyp = int_disp[..., 1].astype(jnp.int32)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def gather_right(vy, vx):
+        yy = jnp.clip(ys + vy + dyp, 0, h - 1)
+        xx = jnp.clip(xs + vx + dxp, 0, w - 1)
+        return right_f[yy, xx]
+
+    # Replicated-edge padded left for cheap window shifts.
+    pad = max(k2h, k2w) + 0
+    lpad = jnp.pad(left_f, ((k2h, k2h), (k2w, k2w)), mode="edge")
+
+    def left_shift(wy, wx):
+        return jax.lax.dynamic_slice(lpad, (wy + k2h, wx + k2w), (h, w))
+
+    costs = [jnp.zeros((h, w), jnp.float32) for _ in range(9)]
+    for vy in range(-k2h - 1, k2h + 2):
+        for vx in range(-k2w - 1, k2w + 2):
+            s_v = gather_right(vy, vx)
+            for dy in (-1, 0, 1):
+                wy = vy - dy
+                if abs(wy) > k2h:
+                    continue
+                for dx in (-1, 0, 1):
+                    wx = vx - dx
+                    if abs(wx) > k2w:
+                        continue
+                    idx = (dy + 1) * 3 + (dx + 1)
+                    costs[idx] = costs[idx] + jnp.abs(left_shift(wy, wx) - s_v)
+
+    patch = jnp.stack(costs, axis=-1)  # (H, W, 9)
+    coeffs = jnp.einsum("ij,hwj->hwi", jnp.asarray(_PINV_A), patch)
+    a, b, c, d, e = (coeffs[..., 0], coeffs[..., 1], coeffs[..., 2],
+                     coeffs[..., 3], coeffs[..., 4])
+    denom = 4 * a * b - c * c
+    off_x = (c * e - 2 * b * d) / denom
+    off_y = (c * d - 2 * a * e) / denom
+    norm = jnp.sqrt(off_x * off_x + off_y * off_y)
+
+    all_equal = jnp.all(patch == patch[..., :1], axis=-1)
+    use_offset = (~all_equal) & (norm < MAX_SUBPIXEL_SHIFT)
+    fx = int_disp[..., 0].astype(jnp.float32) + jnp.where(use_offset, off_x, 0.0)
+    fy = int_disp[..., 1].astype(jnp.float32) + jnp.where(use_offset, off_y, 0.0)
+    out = jnp.stack([fx, fy], axis=-1)
+    out = jnp.where(valid[..., None], out, 0.0)
+    return out
+
+
+def parabola_subpixel(disparity: DisparityMap, left, right, kernel_size,
+                      prefilter_mode: str = PREFILTER_NONE,
+                      prefilter_width: float = 1.4) -> DisparityMap:
+    """Refine an integer disparity map to float (ref ``parabola_subpixel``,
+    ParabolaSubpixelView.cc:330-344). ``disparity`` must be pixel-aligned with
+    ``left`` (same H, W); dx/dy are absolute right-image offsets."""
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    if disparity.disparity.shape[:2] != left.shape[:2]:
+        raise ArgumentErr("parabola_subpixel: disparity must match left image size")
+    kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    left_f = prefilter_image(left, prefilter_mode, prefilter_width)
+    right_f = prefilter_image(right, prefilter_mode, prefilter_width)
+    out = _parabola_refine(disparity.disparity, disparity.valid,
+                           left_f, right_f, kw, kh)
+    return DisparityMap(out, disparity.valid)
