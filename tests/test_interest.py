@@ -1,0 +1,123 @@
+"""Interest point pipeline tests (model: ``src/vw/InterestPoint/tests/``
+TestDetector.cxx, TestMatcher.cxx; config 2 of BASELINE.json: detection +
+matching on an image pair)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.interest import (
+    describe, detect_points, detect_points_scaled, harris_interest,
+    match_filename, match_points, matched_coordinates, read_binary_ip_file,
+    read_binary_match_file, write_binary_ip_file, write_binary_match_file,
+)
+from visionworkbench_tpu.math.ransac import ransac
+
+
+def _corner_image(h=64, w=64):
+    """Bright rectangle on dark background: 4 strong corners."""
+    img = np.zeros((h, w), np.float32)
+    img[20:44, 16:48] = 1.0
+    return img
+
+
+def test_harris_response_peaks_at_corners():
+    img = jnp.asarray(_corner_image())
+    resp = np.asarray(harris_interest(img, 1.0))
+    # Corner responses dominate edge/flat responses
+    corner_val = resp[18:23, 14:19].max()
+    edge_val = resp[30:34, 14:19].max()   # on an edge, away from corners
+    flat_val = abs(resp[5:10, 5:10]).max()
+    assert corner_val > 5 * max(edge_val, 1e-9)
+    assert corner_val > 100 * max(flat_val, 1e-12)
+
+
+def test_detect_points_finds_corners():
+    img = jnp.asarray(_corner_image())
+    pts = detect_points(img, "harris", max_points=16)
+    d = pts.to_numpy()
+    assert len(d["x"]) >= 4
+    found = set()
+    for cx, cy in [(16, 20), (47, 20), (16, 43), (47, 43)]:
+        dist = np.sqrt((d["x"] - cx) ** 2 + (d["y"] - cy) ** 2)
+        if dist.min() < 3.0:
+            found.add((cx, cy))
+    assert len(found) == 4, f"found corners: {found}"
+
+
+def test_detect_scaled_blob():
+    # LoG scale-space detector finds blobs of different sizes
+    img = np.zeros((96, 96), np.float32)
+    ys, xs = np.mgrid[0:96, 0:96].astype(np.float32)
+    img += np.exp(-((xs - 30) ** 2 + (ys - 30) ** 2) / (2 * 2.0 ** 2))
+    img += np.exp(-((xs - 70) ** 2 + (ys - 60) ** 2) / (2 * 5.0 ** 2))
+    pts = detect_points_scaled(jnp.asarray(img), "log", threshold=1e-4,
+                               max_points=64)
+    d = pts.to_numpy()
+    dist1 = np.sqrt((d["x"] - 30) ** 2 + (d["y"] - 30) ** 2)
+    dist2 = np.sqrt((d["x"] - 70) ** 2 + (d["y"] - 60) ** 2)
+    assert dist1.min() < 3.0 and dist2.min() < 3.0
+
+
+def test_full_match_pipeline_with_translation(rng):
+    # Textured image; second view translated by (7, 3). Detect, describe,
+    # match, RANSAC -> recover the translation.
+    h, w = 96, 96
+    base = rng.random((h + 20, w + 20)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter as ndi_gauss
+    base = ndi_gauss(base, 1.5).astype(np.float32)
+    img1 = jnp.asarray(base[:h, :w])
+    img2 = jnp.asarray(base[3:3 + h, 7:7 + w])  # img2(p) = img1(p + (7,3))
+    p1 = detect_points(img1, "harris", max_points=128, threshold=1e-8)
+    p2 = detect_points(img2, "harris", max_points=128, threshold=1e-8)
+    p1 = describe(img1, p1, "sgrad")
+    p2 = describe(img2, p2, "sgrad")
+    m = match_points(p1, p2, ratio=0.8)
+    c1, c2 = matched_coordinates(p1, p2, m)
+    assert len(c1) >= 10, f"too few matches: {len(c1)}"
+    t, inliers = ransac(c1, c2, "translation", inlier_threshold=2.0,
+                        num_iterations=50)
+    assert len(inliers) >= 8
+    # img2 coords = img1 coords - (7, 3)
+    np.testing.assert_allclose(t.matrix[:2, 2], [-7, -3], atol=0.75)
+
+
+def test_ip_file_roundtrip(tmp_path):
+    d = {"x": np.array([1.5, 2.5], np.float32),
+         "y": np.array([3.5, 4.5], np.float32),
+         "scale": np.array([1.0, 2.0], np.float32),
+         "orientation": np.array([0.1, -0.2], np.float32),
+         "interest": np.array([9.0, 8.0], np.float32),
+         "descriptor": np.array([[0.1, 0.2], [0.3, 0.4]], np.float32)}
+    path = str(tmp_path / "test.vwip")
+    write_binary_ip_file(path, d)
+    back = read_binary_ip_file(path)
+    for k in d:
+        np.testing.assert_allclose(back[k], d[k], atol=1e-6)
+
+    mpath = str(tmp_path / "a__b.match")
+    write_binary_match_file(mpath, d, d)
+    b1, b2 = read_binary_match_file(mpath)
+    np.testing.assert_allclose(b1["x"], d["x"])
+    np.testing.assert_allclose(b2["y"], d["y"])
+
+
+def test_match_filename():
+    assert match_filename("out/", "/a/left.tif", "/b/right.tif") == \
+        "out/left__right.match"
+
+
+def test_ransac_homography(rng):
+    # Known homography, with outliers.
+    h_true = np.array([[1.02, 0.01, 5.0], [-0.02, 0.98, -3.0], [1e-5, -2e-5, 1.0]])
+    n = 60
+    p1 = rng.random((n, 2)) * 100
+    homo = np.hstack([p1, np.ones((n, 1))])
+    proj = (h_true @ homo.T).T
+    p2 = proj[:, :2] / proj[:, 2:]
+    p2[:10] += rng.random((10, 2)) * 50 + 20  # 10 gross outliers
+    t, inliers = ransac(p1, p2, "homography", inlier_threshold=1.0,
+                        num_iterations=200, seed=3)
+    assert len(inliers) >= 45
+    assert all(i >= 10 for i in inliers[:5]) or len(set(range(10)) & set(inliers)) == 0
+    np.testing.assert_allclose(t.matrix / t.matrix[2, 2], h_true, atol=0.05)

@@ -1,0 +1,90 @@
+"""Distributed tests on the 8-device virtual CPU mesh — the analogue of the
+reference's tiled-equals-whole ``TestBlockRasterize.cxx``: sharded results
+must match (or statistically match) single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.image.filters import gaussian_filter
+from visionworkbench_tpu.math.bbox import BBox2i
+from visionworkbench_tpu.parallel import (
+    disparity_sharded_search, make_disp_mesh, make_tile_mesh, map_overlap,
+    sharded_pyramid_correlate,
+)
+from visionworkbench_tpu.stereo.correlation import (
+    ABSOLUTE_DIFFERENCE, CROSS_CORRELATION, best_of_search_convolution,
+)
+from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                   reason="needs 8 virtual devices")
+
+
+@needs_devices
+def test_map_overlap_gaussian_equals_whole(rng):
+    img = jnp.asarray(rng.standard_normal((64, 32)), dtype=jnp.float32)
+    mesh = make_tile_mesh(8)
+    whole = gaussian_filter(img, 1.0)
+
+    out = map_overlap(lambda block: gaussian_filter(block, 1.0), img, mesh, halo=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(whole), atol=1e-6)
+
+
+@needs_devices
+@pytest.mark.parametrize("cost_type", [ABSOLUTE_DIFFERENCE, CROSS_CORRELATION])
+def test_disparity_sharded_equals_single(rng, cost_type):
+    h, w, sx, sy = 30, 28, 5, 8
+    left = jnp.asarray(rng.random((h, w)), dtype=jnp.float32)
+    right = jnp.asarray(rng.random((h + sy - 1, w + sx - 1)), dtype=jnp.float32)
+    single = best_of_search_convolution(left, right, (sx, sy), (5, 5), cost_type)
+    mesh = make_disp_mesh(4)
+    sharded = disparity_sharded_search(left, right, (sx, sy), (5, 5), mesh,
+                                       cost_type)
+    np.testing.assert_array_equal(np.asarray(single.disparity),
+                                  np.asarray(sharded.disparity))
+    np.testing.assert_array_equal(np.asarray(single.valid),
+                                  np.asarray(sharded.valid))
+
+
+@needs_devices
+def test_disparity_sharded_flat_invalidation():
+    left = jnp.zeros((16, 16), jnp.float32)
+    right = jnp.zeros((23, 20), jnp.float32)
+    mesh = make_disp_mesh(4)
+    out = disparity_sharded_search(left, right, (5, 8), (5, 5), mesh)
+    assert not np.asarray(out.valid).any()
+
+
+@needs_devices
+def test_sharded_pyramid_correlate_matches_whole(rng):
+    # 8 row bands; known constant shift; interior must agree with monolithic.
+    h, w = 256, 64
+    shift = (3, 1)
+    sx, sy = 6, 3
+    ys, xs = np.mgrid[0:h + sy, 0:w + sx].astype(np.float32)
+    tex = (np.sin(xs * 0.37) * np.cos(ys * 0.29)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = np.array(rng.random((h, w)), np.float32)
+    right[:] = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w]
+    # right[p] = tex[p + shift] => left[p] = right[p - shift]... we want
+    # left(p) == right(p + d): tex[p] == tex[p + shift + d] -> d = -shift.
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=1, tile_size=16,
+                  filter_half_kernel=5)
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(8)
+    sharded = sharded_pyramid_correlate(left_j, right_j, sr, mesh, **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[8:-8, 8:-8]
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.99, f"shard/whole agreement {agree.mean()}"
+    # and the sharded result recovers the true disparity
+    correct = ((sd[core][..., 0] == -shift[0]) & (sd[core][..., 1] == -shift[1]))[sv[core]]
+    assert correct.mean() > 0.9

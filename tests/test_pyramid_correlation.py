@@ -1,0 +1,146 @@
+"""Pyramid correlator tests (model:
+``src/vw/Stereo/tests/TestPyramidCorrelationView.cxx:83-84`` — statistical
+acceptance: fraction of valid pixels with the correct disparity above a
+threshold, over prefilter modes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.math.bbox import BBox2i
+from visionworkbench_tpu.stereo.correlation import DisparityMap
+from visionworkbench_tpu.stereo.disparity import (
+    cross_corr_consistency_check, disparity_subsample, disparity_upsample,
+    get_disparity_range, rm_outliers_using_thresh,
+)
+from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+
+
+def _textured_pair(rng, h=96, w=96, shift=(6, 2), search=(12, 6)):
+    """Right contains left shifted by `shift`; textured with smooth + noise."""
+    ys, xs = np.mgrid[0:h + search[1], 0:w + search[0]].astype(np.float32)
+    tex = (np.sin(xs * 0.35) * np.cos(ys * 0.27)
+           + 0.5 * np.sin(xs * 0.11 + ys * 0.09)
+           + 0.25 * rng.random(xs.shape)).astype(np.float32)
+    dx, dy = shift
+    left = tex[:h, :w]
+    right = np.zeros((h + search[1], w + search[0]), np.float32)
+    right[:] = rng.random(right.shape).astype(np.float32)
+    right[dy:dy + h, dx:dx + w] = left
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.mark.parametrize("prefilter", ["none", "meansub", "log"])
+def test_pyramid_known_shift(rng, prefilter):
+    shift = (6, 2)
+    left, right = _textured_pair(rng, shift=shift)
+    dm = pyramid_correlate(left, right, BBox2i(0, 0, 12, 6),
+                           kernel_size=(7, 7), prefilter_mode=prefilter,
+                           max_pyramid_levels=2, tile_size=16,
+                           filter_half_kernel=5)
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    # Interior statistics (borders legitimately fail)
+    core = np.s_[10:-10, 10:-10]
+    v = valid[core]
+    attempted = v.mean()
+    assert attempted > 0.8, f"attempt density too low: {attempted}"
+    correct = ((disp[core][..., 0] == shift[0]) & (disp[core][..., 1] == shift[1]))[v]
+    assert correct.mean() > 0.9, f"fraction correct: {correct.mean()}"
+
+
+def test_pyramid_with_consistency_check(rng):
+    shift = (5, 1)
+    left, right = _textured_pair(rng, shift=shift, search=(8, 4))
+    dm = pyramid_correlate(left, right, BBox2i(0, 0, 8, 4),
+                           kernel_size=(7, 7), consistency_threshold=2.0,
+                           max_pyramid_levels=2, tile_size=16)
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    core = np.s_[10:-10, 10:-10]
+    v = valid[core]
+    assert v.mean() > 0.7
+    correct = ((disp[core][..., 0] == shift[0]) & (disp[core][..., 1] == shift[1]))[v]
+    assert correct.mean() > 0.95
+
+
+def test_pyramid_with_parabola_subpixel(rng):
+    shift = (3, 1)
+    left, right = _textured_pair(rng, shift=shift, search=(6, 3))
+    dm = pyramid_correlate(left, right, BBox2i(0, 0, 6, 3),
+                           kernel_size=(7, 7), max_pyramid_levels=1,
+                           tile_size=16, subpixel="parabola")
+    assert dm.disparity.dtype == jnp.float32
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    core = np.s_[10:-10, 10:-10]
+    err = np.abs(disp[core][..., 0] - shift[0])[valid[core]]
+    assert np.median(err) < 0.5
+
+
+def test_pyramid_nonzero_search_min(rng):
+    # Negative disparities: right shifted left by 4 -> disparity = -4.
+    h, w = 80, 80
+    ys, xs = np.mgrid[0:h, 0:w + 10].astype(np.float32)
+    tex = (np.sin(xs * 0.31) * np.cos(ys * 0.23)
+           + 0.3 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:, :w]
+    right = tex[:, 4:4 + w]  # right[x] = left[x + 4] -> d = -4
+    dm = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                           BBox2i(-6, -2, 8, 4), kernel_size=(7, 7),
+                           max_pyramid_levels=1, tile_size=16)
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    core = np.s_[10:-10, 10:-10]
+    v = valid[core]
+    correct = ((disp[core][..., 0] == -4) & (disp[core][..., 1] == 0))[v]
+    assert correct.mean() > 0.9
+
+
+# ---------------------------------------------------------------- disparity utils
+def test_disparity_up_down_sample():
+    disp = jnp.ones((6, 6, 2), jnp.float32) * 3
+    valid = jnp.ones((6, 6), bool)
+    up = disparity_upsample(DisparityMap(disp, valid))
+    assert up.disparity.shape == (12, 12, 2)
+    np.testing.assert_allclose(np.asarray(up.disparity), 6.0)
+    down = disparity_subsample(DisparityMap(disp, valid))
+    # Output size 1 + (n-1)//2 per the reference (DisparityMap.h:1262-1263).
+    assert down.disparity.shape == (3, 3, 2)
+    # Constant field: averaging preserves value, /2 rescales.
+    np.testing.assert_allclose(np.asarray(down.disparity), 1.5)
+
+
+def test_get_disparity_range():
+    disp = jnp.zeros((4, 4, 2), jnp.int32)
+    disp = disp.at[1, 1].set(jnp.array([3, -2]))
+    disp = disp.at[2, 2].set(jnp.array([-1, 5]))
+    valid = jnp.ones((4, 4), bool).at[0, 0].set(False)
+    box = get_disparity_range(DisparityMap(disp, valid))
+    assert box.min() == (-1, -2)
+    assert box.max() == (4, 6)  # max-exclusive
+
+
+def test_rm_outliers():
+    disp = jnp.zeros((9, 9, 2), jnp.float32)
+    disp = disp.at[4, 4].set(jnp.array([50.0, 50.0]))  # lone outlier
+    valid = jnp.ones((9, 9), bool)
+    out = rm_outliers_using_thresh(DisparityMap(disp, valid), 2, 2, 3.0, 0.5)
+    assert not bool(out.valid[4, 4])
+    assert bool(out.valid[0, 0])
+
+
+def test_cross_corr_consistency():
+    h = w = 8
+    d = jnp.zeros((h, w, 2), jnp.int32).at[..., 0].set(2)
+    l2r = DisparityMap(d, jnp.ones((h, w), bool))
+    # Consistent R2L: -2 everywhere
+    d_rl = jnp.zeros((h, w + 2, 2), jnp.int32).at[..., 0].set(-2)
+    r2l = DisparityMap(d_rl, jnp.ones((h, w + 2), bool))
+    out = cross_corr_consistency_check(l2r, r2l, 1.0)
+    assert np.asarray(out.valid).all()
+    # Inconsistent R2L
+    d_rl_bad = jnp.zeros((h, w + 2, 2), jnp.int32).at[..., 0].set(5)
+    out = cross_corr_consistency_check(
+        l2r, DisparityMap(d_rl_bad, jnp.ones((h, w + 2), bool)), 1.0)
+    assert not np.asarray(out.valid).any()

@@ -100,6 +100,23 @@ def edge_extend(image,
     return _linear_extrapolate_1d(out, 0, y_pad[0], y_pad[1])
 
 
+def crop_extended(image, x0: int, y0: int, width: int, height: int,
+                  mode: str = "constant", value: float = 0.0):
+    """Crop a (possibly out-of-bounds) region, serving outside pixels from the
+    edge-extension policy — the reference's ``crop(edge_extend(img, ...), bbox)``
+    idiom (``EdgeExtension.h:141-168``). (x0, y0) may be negative."""
+    h, w = image.shape[0], image.shape[1]
+    x_before = max(0, -x0)
+    y_before = max(0, -y0)
+    x_after = max(0, x0 + width - w)
+    y_after = max(0, y0 + height - h)
+    padded = edge_extend(image, x_pad=(x_before, x_after), y_pad=(y_before, y_after),
+                         mode=mode, value=value)
+    ys = y0 + y_before
+    xs = x0 + x_before
+    return padded[ys:ys + height, xs:xs + width]
+
+
 def crop_to_interior(image, x_pad: int, y_pad: int):
     """Inverse of a symmetric :func:`edge_extend`."""
     h, w = image.shape[0], image.shape[1]

@@ -1,0 +1,19 @@
+"""Interest points — TPU-native replacement for ``src/vw/InterestPoint/``."""
+
+from visionworkbench_tpu.interest.types import InterestPoints, from_numpy
+from visionworkbench_tpu.interest.operators import (
+    harris_interest, image_gradients, log_interest,
+)
+from visionworkbench_tpu.interest.detector import (
+    assign_orientations, concatenate_points, detect_points, detect_points_scaled,
+)
+from visionworkbench_tpu.interest.descriptor import (
+    describe, patch_descriptor, sgrad_descriptor,
+)
+from visionworkbench_tpu.interest.matcher import (
+    Matches, match_points, matched_coordinates,
+)
+from visionworkbench_tpu.interest.io import (
+    match_filename, read_binary_ip_file, read_binary_match_file,
+    write_binary_ip_file, write_binary_match_file,
+)

@@ -1,0 +1,108 @@
+"""Descriptor generation (ref ``src/vw/InterestPoint/Descriptor.h:40-180``).
+
+* ``patch`` — normalized raw support patch (``PatchDescriptorGenerator:86``)
+* ``sgrad`` — gradient-orientation histograms over a 4x4 subgrid of the
+  support region, SIFT-like (the role of ``SGradDescriptorGenerator:120``'s
+  steerable-gradient histograms, reformulated as dense gathers)
+
+Support regions are scale- and orientation-normalized windows sampled with
+bilinear gathers (ref ``get_support``), vmapped over the fixed-capacity point
+buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from visionworkbench_tpu.image.interpolation import interpolate
+from visionworkbench_tpu.interest.types import InterestPoints
+
+SUPPORT_SIZE = 41  # ref Descriptor.h support size
+
+
+def _support_coords(pts: InterestPoints, size: int):
+    """Sampling grids: rotated by orientation, scaled by scale (ref
+    ``get_support``). Returns (K, size, size) x/y coordinate arrays."""
+    half = (size - 1) / 2.0
+    us = (jnp.arange(size) - half)
+    uu, vv = jnp.meshgrid(us, us)          # (size, size), x and y offsets
+    cos = jnp.cos(pts.orientation)[:, None, None]
+    sin = jnp.sin(pts.orientation)[:, None, None]
+    s = pts.scale[:, None, None]
+    dx = (uu[None] * cos - vv[None] * sin) * s
+    dy = (uu[None] * sin + vv[None] * cos) * s
+    return pts.x[:, None, None] + dx, pts.y[:, None, None] + dy
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _patch_descriptors(img, x, y, valid, size: int):
+    def one(xc, yc):
+        return interpolate(img, xc, yc, "bilinear")
+    patches = jax.vmap(one)(x, y)                    # (K, size, size)
+    flat = patches.reshape(patches.shape[0], -1)
+    mean = flat.mean(axis=1, keepdims=True)
+    centered = flat - mean
+    norm = jnp.sqrt((centered ** 2).sum(axis=1, keepdims=True))
+    out = centered / jnp.maximum(norm, 1e-12)
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def patch_descriptor(img, pts: InterestPoints, size: int = 17) -> InterestPoints:
+    """Normalized patch descriptor (ref ``PatchDescriptorGenerator``)."""
+    img = jnp.asarray(img, jnp.float32)
+    x, y = _support_coords(pts, size)
+    desc = _patch_descriptors(img, x, y, pts.valid, size)
+    return pts._replace(descriptor=desc)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "bins", "size"))
+def _sgrad_descriptors(img, x, y, orientation, valid, grid: int, bins: int,
+                       size: int):
+    k = x.shape[0]
+    def one(xc, yc):
+        return interpolate(img, xc, yc, "bilinear")
+    patches = jax.vmap(one)(x, y)                     # (K, size, size)
+    gx = (jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2)) * 0.5
+    gy = (jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1)) * 0.5
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx) - orientation[:, None, None]
+    bin_idx = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
+    # Gaussian weight over the window
+    half = (size - 1) / 2.0
+    g = jnp.exp(-0.5 * ((jnp.arange(size) - half) / (0.5 * size)) ** 2)
+    weight = g[:, None] * g[None, :]
+    mag = mag * weight[None]
+    # Cell index per pixel
+    cell = jnp.minimum((jnp.arange(size) * grid) // size, grid - 1)
+    cell_y = cell[:, None] * grid
+    cell_x = cell[None, :]
+    cell_idx = (cell_y + cell_x)                      # (size, size)
+    flat_idx = cell_idx[None] * bins + bin_idx        # (K, size, size)
+    hist = jnp.zeros((k, grid * grid * bins), jnp.float32)
+    hist = hist.at[jnp.arange(k)[:, None, None], flat_idx].add(mag)
+    norm = jnp.sqrt((hist ** 2).sum(axis=1, keepdims=True))
+    hist = hist / jnp.maximum(norm, 1e-12)
+    hist = jnp.minimum(hist, 0.2)                     # SIFT-style clamp
+    norm = jnp.sqrt((hist ** 2).sum(axis=1, keepdims=True))
+    hist = hist / jnp.maximum(norm, 1e-12)
+    return jnp.where(valid[:, None], hist, 0.0)
+
+
+def sgrad_descriptor(img, pts: InterestPoints, grid: int = 4, bins: int = 8,
+                     size: int = SUPPORT_SIZE) -> InterestPoints:
+    """Gradient-histogram descriptor (ref ``SGradDescriptorGenerator``)."""
+    img = jnp.asarray(img, jnp.float32)
+    x, y = _support_coords(pts, size)
+    desc = _sgrad_descriptors(img, x, y, pts.orientation, pts.valid, grid, bins, size)
+    return pts._replace(descriptor=desc)
+
+
+def describe(img, pts: InterestPoints, kind: str = "sgrad") -> InterestPoints:
+    if kind == "patch":
+        return patch_descriptor(img, pts)
+    if kind in ("sgrad", "sgrad2"):
+        return sgrad_descriptor(img, pts)
+    raise ValueError(f"unknown descriptor {kind!r}")

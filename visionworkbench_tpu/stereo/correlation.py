@@ -110,7 +110,9 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
         return cost_at(d % sx, d // sx)
 
     m0 = cost_at_flat(0)
-    init = (m0, m0, jnp.zeros((out_h, out_w), jnp.int32))
+    # zeros_like (not zeros) so the carry inherits m0's varying-axis type
+    # under shard_map (disparity-sharded path).
+    init = (m0, m0, jnp.zeros_like(m0, dtype=jnp.int32))
 
     def step(carry, d):
         best, worst, arg = carry

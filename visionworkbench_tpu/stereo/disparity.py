@@ -1,0 +1,197 @@
+"""Disparity-map utilities (ref ``src/vw/Stereo/DisparityMap.h``) and the
+L-R consistency check (ref ``src/vw/Stereo/Correlate.cc:1441-1502``)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visionworkbench_tpu.math.bbox import BBox2, BBox2i
+from visionworkbench_tpu.stereo.correlation import DisparityMap
+
+
+def get_disparity_range(dm: DisparityMap) -> BBox2i:
+    """Min/max disparity over valid pixels (ref ``get_disparity_range``,
+    DisparityMap.h:52-66; unlike the reference we skip invalid pixels — its
+    in-tree TODO notes that including them is a bug). Host-side: concretizes.
+    Returns a max-exclusive integer box containing the (dx, dy) range."""
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    if not valid.any():
+        return BBox2i(0, 0, 0, 0)
+    vals = disp[valid]
+    mn = np.floor(vals.min(axis=0)).astype(int)
+    mx = np.ceil(vals.max(axis=0)).astype(int)
+    return BBox2i.from_bounds(int(mn[0]), int(mn[1]), int(mx[0]) + 1, int(mx[1]) + 1)
+
+
+def disparity_mask(dm: DisparityMap, left_mask, right_mask) -> DisparityMap:
+    """Invalidate disparities whose left pixel is masked or whose right-image
+    target pixel is masked (ref ``disparity_mask``, DisparityMap.h:248)."""
+    h, w = dm.valid.shape
+    rh, rw = right_mask.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    tx = xs + dm.disparity[..., 0].astype(jnp.int32)
+    ty = ys + dm.disparity[..., 1].astype(jnp.int32)
+    in_bounds = (tx >= 0) & (tx < rw) & (ty >= 0) & (ty < rh)
+    txc = jnp.clip(tx, 0, rw - 1)
+    tyc = jnp.clip(ty, 0, rh - 1)
+    right_ok = jnp.where(in_bounds, right_mask[tyc, txc], False)
+    valid = dm.valid & left_mask & right_ok
+    return DisparityMap(jnp.where(valid[..., None], dm.disparity, 0), valid)
+
+
+@functools.partial(jax.jit, static_argnames=("half_h", "half_v"))
+def _rm_outliers(disp, valid, half_h: int, half_v: int,
+                 pixel_threshold: float, rejection_threshold: float):
+    h, w = valid.shape
+    dx = disp[..., 0].astype(jnp.float32)
+    dy = disp[..., 1].astype(jnp.float32)
+    # Replicated-edge neighborhoods (ref wraps in ConstantEdgeExtension).
+    pdx = jnp.pad(dx, ((half_v, half_v), (half_h, half_h)), mode="edge")
+    pdy = jnp.pad(dy, ((half_v, half_v), (half_h, half_h)), mode="edge")
+    pva = jnp.pad(valid, ((half_v, half_v), (half_h, half_h)), mode="edge")
+    matched = jnp.zeros((h, w), jnp.int32)
+    for yk in range(2 * half_v + 1):
+        for xk in range(2 * half_h + 1):
+            ndx = jax.lax.dynamic_slice(pdx, (yk, xk), (h, w))
+            ndy = jax.lax.dynamic_slice(pdy, (yk, xk), (h, w))
+            nva = jax.lax.dynamic_slice(pva, (yk, xk), (h, w))
+            ok = (nva & (jnp.abs(dx - ndx) <= pixel_threshold)
+                  & (jnp.abs(dy - ndy) <= pixel_threshold))
+            matched = matched + ok.astype(jnp.int32)
+    total = (2 * half_v + 1) * (2 * half_h + 1)
+    keep = (matched.astype(jnp.float32) / total) >= rejection_threshold
+    new_valid = valid & keep
+    return jnp.where(new_valid[..., None], disp, jnp.zeros_like(disp)), new_valid
+
+
+def rm_outliers_using_thresh(dm: DisparityMap, half_h_kernel: int, half_v_kernel: int,
+                             pixel_threshold: float,
+                             rejection_threshold: float) -> DisparityMap:
+    """Neighborhood-agreement speckle filter (ref ``rm_outliers_using_thresh``,
+    DisparityMap.h:405-433): a valid pixel survives iff the fraction of window
+    neighbors that are valid and within ``pixel_threshold`` in both disparity
+    channels is at least ``rejection_threshold``."""
+    disp, valid = _rm_outliers(dm.disparity, dm.valid, int(half_h_kernel),
+                               int(half_v_kernel), float(pixel_threshold),
+                               float(rejection_threshold))
+    return DisparityMap(disp, valid)
+
+
+def disparity_cleanup_using_thresh(dm: DisparityMap, half_h_kernel: int,
+                                   half_v_kernel: int, pixel_threshold: float,
+                                   rejection_threshold: float) -> DisparityMap:
+    """Two-pass cleanup; second pass hard-coded to (1, 1, 3.0, 0.20)
+    (ref ``disparity_cleanup_using_thresh``, DisparityMap.h:426-447)."""
+    out = rm_outliers_using_thresh(dm, half_h_kernel, half_v_kernel,
+                                   pixel_threshold, rejection_threshold)
+    return rm_outliers_using_thresh(out, 1, 1, 3.0, 0.20)
+
+
+@jax.jit
+def _cross_corr(l2r_disp, l2r_valid, r2l_disp, r2l_valid, threshold):
+    h, w = l2r_valid.shape
+    rh, rw = r2l_valid.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    tx = xs + l2r_disp[..., 0].astype(jnp.int32)
+    ty = ys + l2r_disp[..., 1].astype(jnp.int32)
+    in_bounds = (tx >= 0) & (tx < rw) & (ty >= 0) & (ty < rh)
+    txc = jnp.clip(tx, 0, rw - 1)
+    tyc = jnp.clip(ty, 0, rh - 1)
+    rvalid = r2l_valid[tyc, txc]
+    rdx = r2l_disp[..., 0][tyc, txc].astype(jnp.float32)
+    rdy = r2l_disp[..., 1][tyc, txc].astype(jnp.float32)
+    diff = jnp.maximum(jnp.abs(l2r_disp[..., 0].astype(jnp.float32) + rdx),
+                       jnp.abs(l2r_disp[..., 1].astype(jnp.float32) + rdy))
+    valid = l2r_valid & in_bounds & rvalid & (diff <= threshold)
+    return jnp.where(valid[..., None], l2r_disp, jnp.zeros_like(l2r_disp)), valid, diff
+
+
+def cross_corr_consistency_check(l2r: DisparityMap, r2l: DisparityMap,
+                                 cross_corr_threshold: float = 2.0,
+                                 return_diff: bool = False):
+    """L-to-R vs R-to-L agreement test (ref ``cross_corr_consistency_check``,
+    Correlate.cc:1441-1502): pixel survives iff the R-L disparity at its match
+    target negates its own disparity to within the threshold."""
+    disp, valid, diff = _cross_corr(l2r.disparity, l2r.valid,
+                                    r2l.disparity, r2l.valid,
+                                    jnp.float32(cross_corr_threshold))
+    out = DisparityMap(disp, valid)
+    if return_diff:
+        return out, diff
+    return out
+
+
+@jax.jit
+def _disparity_subsample(disp, valid):
+    h, w = valid.shape
+    oh, ow = 1 + (h - 1) // 2, 1 + (w - 1) // 2
+    dispf = disp.astype(jnp.float32)
+    pd = jnp.pad(dispf, ((1, 2), (1, 2), (0, 0)), mode="edge")
+    pv = jnp.pad(valid, ((1, 2), (1, 2)), mode="edge")
+    # Weights per the reference (DisparityMap.h:1267-1305): center 10,
+    # 4-neighbors 5, diagonals 2; result = weighted sum / (2 * weight_sum)
+    # (the /2 rescales disparities to the coarser level).
+    offsets = [(0, 0, 10.0), (1, 0, 5.0), (0, 1, 5.0), (-1, 0, 5.0), (0, -1, 5.0),
+               (1, 1, 2.0), (-1, -1, 2.0), (-1, 1, 2.0), (1, -1, 2.0)]
+    ci = 2 * jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 1) + 1
+    cj = 2 * jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 0) + 1
+    acc = jnp.zeros((oh, ow, 2), jnp.float32)
+    cnt = jnp.zeros((oh, ow), jnp.float32)
+    for (di, dj, wgt) in offsets:
+        yy = cj + dj
+        xx = ci + di
+        v = pv[yy, xx]
+        acc = acc + jnp.where(v[..., None], wgt * pd[yy, xx], 0.0)
+        cnt = cnt + jnp.where(v, wgt, 0.0)
+    out_valid = cnt > 0
+    safe = jnp.maximum(cnt, 1.0)
+    out = acc / (safe[..., None] * 2.0)
+    return jnp.where(out_valid[..., None], out, 0.0), out_valid
+
+
+def disparity_subsample(dm: DisparityMap) -> DisparityMap:
+    """Half-resolution disparity with validity-weighted averaging and /2
+    disparity rescale (ref ``DisparitySubsampleView``, DisparityMap.h:1253-1320)."""
+    disp, valid = _disparity_subsample(dm.disparity, dm.valid)
+    return DisparityMap(disp, valid)
+
+
+def disparity_upsample(dm: DisparityMap) -> DisparityMap:
+    """2x nearest upsample with disparities doubled
+    (ref ``DisparityUpsampleView``, DisparityMap.h:1326-1360)."""
+    disp = jnp.repeat(jnp.repeat(dm.disparity * 2, 2, axis=0), 2, axis=1)
+    valid = jnp.repeat(jnp.repeat(dm.valid, 2, axis=0), 2, axis=1)
+    return DisparityMap(disp, valid)
+
+
+def std_dev_image(image, kernel_w: int, kernel_h: int):
+    """Windowed standard deviation (ref ``UnaryPerPixelAccessorView`` StdDev
+    functor in DisparityMap.h): sqrt(E[x^2] - E[x]^2) over the kernel window."""
+    from visionworkbench_tpu.ops.box_filter import box_sum_same
+    image = jnp.asarray(image, jnp.float32)
+    n = float(kernel_w * kernel_h)
+    s1 = box_sum_same(image, kernel_w, kernel_h, edge="constant") / n
+    s2 = box_sum_same(image * image, kernel_w, kernel_h, edge="constant") / n
+    return jnp.sqrt(jnp.maximum(s2 - s1 * s1, 0.0))
+
+
+def transform_disparities(dm: DisparityMap, transform_fn) -> DisparityMap:
+    """Apply a 2D point transform to the *target* coordinates of each
+    disparity (ref ``transform_disparities``, DisparityMap.h:1048): new
+    disparity = T(p + d) - p."""
+    h, w = dm.valid.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    tx = xs + dm.disparity[..., 0].astype(jnp.float32)
+    ty = ys + dm.disparity[..., 1].astype(jnp.float32)
+    nx, ny = transform_fn(tx, ty)
+    out = jnp.stack([nx - xs, ny - ys], axis=-1)
+    return DisparityMap(jnp.where(dm.valid[..., None], out, 0.0), dm.valid)

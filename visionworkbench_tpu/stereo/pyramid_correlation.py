@@ -1,0 +1,376 @@
+"""Hierarchical (pyramid) stereo correlator — the north-star pipeline
+(ref ``src/vw/Stereo/CorrelationView.cc:66-886``, ``CorrelationView.h:35-193``).
+
+Reference flow, preserved here: pad the left region by ``half_kernel * 2^L``
+for full kernel support at every level (``CorrelationView.cc:84-99``); crop the
+right image at ``search_region.min`` so in-pyramid disparities are always >= 0;
+mean-fill masked pixels (``:129-150``); build 5-tap [1,4,6,4,1]/16 blur +
+subsample-by-2 pyramids with 2-of-4 mask downsampling (``:202-216, :36-63``);
+prefilter every level; then correlate coarse-to-fine with per-level speckle
+filtering and (at level 0) an optional L<->R consistency check.
+
+**TPU-native deviation (static shapes):** the reference refines search ranges
+with a recursive quadtree of variable-size "zones" (``subdivide_regions``,
+``Correlation.cc:139-328``). Data-dependent shapes don't trace, so this
+implementation uses a *fixed tile grid with per-tile dynamic search offsets*:
+each TxT tile takes the min of the (filtered, x2-upsampled) previous-level
+disparity over the tile, expands by 2 (the reference's ``expand(2)``,
+``CorrelationView.cc:784``), and searches a static-size window from that
+offset via a vmapped scan. Same effect — local search ranges that track the
+coarse solution — with shapes known at trace time. Tiles whose prior is fully
+invalid fall back to the global valid minimum.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from visionworkbench_tpu.core.log import DEBUG, vw_out
+from visionworkbench_tpu.math.bbox import BBox2i
+from visionworkbench_tpu.image.edge import crop_extended
+from visionworkbench_tpu.image.convolution import separable_convolution_filter
+from visionworkbench_tpu.image.filters import generate_pyramid_smoothing_kernel
+from visionworkbench_tpu.stereo.correlation import (
+    ABSOLUTE_DIFFERENCE, DisparityMap, _best_of_search,
+)
+from visionworkbench_tpu.stereo.disparity import (
+    cross_corr_consistency_check, disparity_cleanup_using_thresh, disparity_mask,
+    disparity_upsample, rm_outliers_using_thresh,
+)
+from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
+from visionworkbench_tpu.stereo.subpixel import parabola_subpixel
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def max_pyramid_levels_for(width: int, height: int, kernel_size, search_region: BBox2i,
+                           requested: int) -> int:
+    """Level-count heuristic (ref ``CorrelationView.cc:300-308`` and the
+    search-based cap ``CorrelationView.h:99-105``)."""
+    smallest_bbox = min(width, height)
+    largest_kernel = max(int(kernel_size[0]), int(kernel_size[1]))
+    by_size = int(math.floor(math.log2(max(smallest_bbox, 1)) -
+                             math.log2(max(largest_kernel, 1))))
+    largest_search = max(search_region.width, search_region.height, 1)
+    by_search = int(math.floor(math.log2(largest_search))) - 1
+    levels = min(by_size, max(by_search, 0), int(requested))
+    return max(levels, 0)
+
+
+@jax.jit
+def _blur_downsample(img):
+    """5-tap pyramid smooth + subsample by 2 (ref ``CorrelationView.cc:210-216``)."""
+    kernel = generate_pyramid_smoothing_kernel()
+    smoothed = separable_convolution_filter(img, kernel, kernel, edge="constant")
+    return smoothed[::2, ::2]
+
+
+@jax.jit
+def _mask_downsample(mask):
+    """2-of-4 2x2 mask reduction (ref ``SubsampleMaskByTwoFunc``,
+    CorrelationView.cc:36-63). Operates on bool (H, W); output ceil sizes."""
+    m = mask.astype(jnp.int32)
+    h, w = m.shape
+    ph, pw = (-h) % 2, (-w) % 2
+    m = jnp.pad(m, ((0, ph), (0, pw)))
+    s = (m[0::2, 0::2] + m[1::2, 0::2] + m[0::2, 1::2] + m[1::2, 1::2])
+    return s > 1
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "s_x", "s_y", "kw", "kh",
+                                             "cost_type", "census_window"))
+def _tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
+                  kw: int, kh: int, cost_type: str, census_window: int):
+    """Vmapped per-tile disparity search — the static-shape "zone" engine.
+
+    ``base``: padded image; tile (ty, tx) reads base rows
+    ``ty*tile .. ty*tile + tile + kh - 2`` (i.e. base must carry half-kernel
+    padding baked into its coordinate frame). ``match``: image searched over;
+    tile reads a window of size (tile+kh-1+s_y-1, tile+kw-1+s_x-1) at
+    ``(ty*tile + off_y + match_origin_y, ...)``. ``offsets``: (nty, ntx, 2)
+    int32 (dx, dy) per tile, pre-clamped by the caller so slices stay in
+    bounds. Returns (disp, valid) of size (nty*tile, ntx*tile, ...) where
+    disp = offset + in-window argbest.
+    """
+    nty, ntx = offsets.shape[0], offsets.shape[1]
+    lh, lw = tile + kh - 1, tile + kw - 1
+    rh, rw = lh + s_y - 1, lw + s_x - 1
+
+    def per_tile(ty, tx, off):
+        ltile = lax.dynamic_slice(base, (ty * tile, tx * tile), (lh, lw))
+        rtile = lax.dynamic_slice(
+            match, (ty * tile + off[1], tx * tile + off[0]), (rh, rw))
+        disp, valid, _ = _best_of_search(ltile, rtile, s_x, s_y, kw, kh,
+                                         cost_type, census_window)
+        return disp + off[None, None, :], valid
+
+    tys = jnp.repeat(jnp.arange(nty), ntx)
+    txs = jnp.tile(jnp.arange(ntx), nty)
+    offs = offsets.reshape(-1, 2)
+    disp_t, valid_t = jax.vmap(per_tile)(tys, txs, offs)
+    disp = disp_t.reshape(nty, ntx, tile, tile, 2).transpose(0, 2, 1, 3, 4)
+    disp = disp.reshape(nty * tile, ntx * tile, 2)
+    valid = valid_t.reshape(nty, ntx, tile, tile).transpose(0, 2, 1, 3)
+    valid = valid.reshape(nty * tile, ntx * tile)
+    return disp, valid
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "expand", "max_off_x", "max_off_y"))
+def _tile_offsets(prior_disp, prior_valid, tile: int, expand: int,
+                  max_off_x: int, max_off_y: int):
+    """Per-tile search offsets from the previous level's disparity: tile-min
+    over valid pixels, minus ``expand``, clamped to [0, max_off] — the
+    static-shape stand-in for ``subdivide_regions`` zone ranges."""
+    h, w = prior_valid.shape
+    nty, ntx = h // tile, w // tile
+    disp = prior_disp.astype(jnp.float32)
+    big = jnp.float32(1e30)
+    masked = jnp.where(prior_valid[..., None], disp, big)
+    t = masked.reshape(nty, tile, ntx, tile, 2)
+    tmin = jnp.min(t, axis=(1, 3))                       # (nty, ntx, 2)
+    has_valid = jnp.any(prior_valid.reshape(nty, tile, ntx, tile), axis=(1, 3))
+    global_min = jnp.min(masked.reshape(-1, 2), axis=0)
+    global_min = jnp.where(global_min >= big, 0.0, global_min)
+    tmin = jnp.where(has_valid[..., None], tmin, global_min[None, None, :])
+    off = jnp.floor(tmin).astype(jnp.int32) - expand
+    off_x = jnp.clip(off[..., 0], 0, max_off_x)
+    off_y = jnp.clip(off[..., 1], 0, max_off_y)
+    return jnp.stack([off_x, off_y], axis=-1)
+
+
+class PyramidCorrResult(NamedTuple):
+    disparity: DisparityMap          # absolute disparities, left-image frame
+    level_disparities: Optional[list]
+
+
+def pyramid_correlate(left, right, search_region: BBox2i,
+                      kernel_size: Tuple[int, int] = (21, 21),
+                      left_mask=None, right_mask=None,
+                      cost_type: str = ABSOLUTE_DIFFERENCE,
+                      prefilter_mode: str = PREFILTER_NONE,
+                      prefilter_width: float = 1.4,
+                      consistency_threshold: float = -1.0,
+                      max_pyramid_levels: int = 5,
+                      filter_half_kernel: int = 5,
+                      tile_size: int = 32,
+                      refine_window: int = 11,
+                      census_window: int = 5,
+                      subpixel: str = "none",
+                      keep_levels: bool = False) -> DisparityMap:
+    """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
+    CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
+
+    Returns a :class:`DisparityMap` the size of ``left`` whose (dx, dy) are
+    absolute right-image offsets (``search_region.min`` already added, as the
+    reference does at the end of ``prerasterize``). ``subpixel='parabola'``
+    appends the 9-point quadratic refinement (``parabola_subpixel``).
+    """
+    from visionworkbench_tpu.core.exceptions import ArgumentErr
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h, w = left.shape
+    kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    if kw % 2 != 1 or kh % 2 != 1:
+        raise ArgumentErr("pyramid_correlate: kernel dimensions must be odd")
+    if search_region.width <= 0 or search_region.height <= 0:
+        raise ArgumentErr("pyramid_correlate: search region must be non-empty")
+    half_kw, half_kh = kw // 2, kh // 2
+    s_w, s_h = int(search_region.width), int(search_region.height)
+    smin_x, smin_y = int(search_region.min_x), int(search_region.min_y)
+
+    levels = max_pyramid_levels_for(w, h, (kw, kh), search_region, max_pyramid_levels)
+    up = 1 << levels
+    off_x, off_y = half_kw * up, half_kh * up   # region_offset (CorrelationView.cc:89)
+
+    if left_mask is None:
+        left_mask = jnp.ones((h, w), bool)
+    else:
+        left_mask = jnp.asarray(left_mask).astype(bool)
+    if right_mask is None:
+        right_mask = jnp.ones(right.shape, bool)
+    else:
+        right_mask = jnp.asarray(right_mask).astype(bool)
+
+    # ---- base-level regions (CorrelationView.cc:84-120) --------------------
+    # Padded so every pyramid level halves exactly; extra `up` margin keeps
+    # coarsest-level slices in bounds.
+    base_w = w + 2 * off_x
+    base_h = h + 2 * off_y
+    pad_w = (-base_w) % up + up
+    pad_h = (-base_h) % up + up
+    base_w += pad_w
+    base_h += pad_h
+    left_base = crop_extended(left, -off_x, -off_y, base_w, base_h, mode="constant")
+    rbase_w = base_w + s_w
+    rbase_h = base_h + s_h
+    right_base = crop_extended(right, -off_x + smin_x, -off_y + smin_y,
+                               rbase_w, rbase_h, mode="constant")
+    # Round right base up to a multiple of `up` too.
+    rpad_w = (-rbase_w) % up
+    rpad_h = (-rbase_h) % up
+    rbase_w += rpad_w
+    rbase_h += rpad_h
+    right_base = crop_extended(right_base, 0, 0, rbase_w, rbase_h, mode="constant")
+
+    # Masks over the padded frames (zero-extended) for mean-fill.
+    left_base_mask = crop_extended(left_mask, -off_x, -off_y, base_w, base_h,
+                                   mode="zero").astype(bool)
+    right_base_mask = crop_extended(right_mask, -off_x + smin_x, -off_y + smin_y,
+                                    rbase_w, rbase_h, mode="zero").astype(bool)
+
+    # Mean-fill masked pixels (CorrelationView.cc:129-150).
+    def _mean_fill(img, mask):
+        cnt = jnp.maximum(jnp.sum(mask), 1)
+        mean = jnp.sum(jnp.where(mask, img, 0.0)) / cnt
+        return jnp.where(mask, img, mean)
+    left_base = _mean_fill(left_base, left_base_mask)
+    right_base = _mean_fill(right_base, right_base_mask)
+
+    # Output-frame masks (zero-extended, unpadded; CorrelationView.cc:195-199).
+    lmask0 = left_mask
+    rmask0 = crop_extended(right_mask, smin_x, smin_y, w + s_w, h + s_h,
+                           mode="zero").astype(bool)
+
+    # ---- build pyramids ----------------------------------------------------
+    left_pyr, right_pyr = [left_base], [right_base]
+    lmask_pyr, rmask_pyr = [lmask0], [rmask0]
+    for i in range(1, levels + 1):
+        left_pyr.append(_blur_downsample(left_pyr[-1]))
+        right_pyr.append(_blur_downsample(right_pyr[-1]))
+        lmask_pyr.append(_mask_downsample(lmask_pyr[-1]))
+        rmask_pyr.append(_mask_downsample(rmask_pyr[-1]))
+    left_pyr = [prefilter_image(im, prefilter_mode, prefilter_width) for im in left_pyr]
+    right_pyr = [prefilter_image(im, prefilter_mode, prefilter_width) for im in right_pyr]
+
+    level_results = [] if keep_levels else None
+    dm: Optional[DisparityMap] = None
+
+    for level in range(levels, -1, -1):
+        scaling = 1 << level
+        on_last = level == 0
+        # Search size at this level (CorrelationView.cc:391-395). Like the
+        # reference, disparities are max-exclusive: d_abs in [min, min+size).
+        s_w_l = max(s_w // scaling, 1)
+        s_h_l = max(s_h // scaling, 1)
+        out_h = -(-h // scaling)
+        out_w = -(-w // scaling)
+        region_off_x = off_x // scaling   # = half_kw * up / scaling
+        region_off_y = off_y // scaling
+
+        # Tile grid: pad output dims to a tile multiple.
+        t = int(tile_size)
+        nty, ntx = _cdiv(out_h, t), _cdiv(out_w, t)
+
+        if level == levels:
+            offsets = jnp.zeros((nty, ntx, 2), jnp.int32)
+            s_x_eff, s_y_eff = s_w_l, s_h_l
+        else:
+            prior = disparity_upsample(dm)
+            pr_d = prior.disparity[:out_h, :out_w]
+            pr_v = prior.valid[:out_h, :out_w]
+            # pad prior to tile multiple (invalid padding)
+            py, px = nty * t - out_h, ntx * t - out_w
+            pr_d = jnp.pad(pr_d, ((0, py), (0, px), (0, 0)))
+            pr_v = jnp.pad(pr_v, ((0, py), (0, px)))
+            s_x_eff = min(int(refine_window), s_w_l)
+            s_y_eff = min(int(refine_window), s_h_l)
+            offsets = _tile_offsets(pr_d, pr_v, t, 2,
+                                    s_w_l - s_x_eff, s_h_l - s_y_eff)
+
+        # Base (left) frame for tile extraction: tiles at (ty*t, tx*t) must
+        # read left_pyr[level] starting at the unpadded region minus half the
+        # kernel: bake that origin in with a crop (replicate-extended where
+        # tile padding overruns the stored level).
+        ly0 = region_off_y - half_kh
+        lx0 = region_off_x - half_kw
+        lbh = nty * t + kh - 1
+        lbw = ntx * t + kw - 1
+        lbase = crop_extended(left_pyr[level], lx0, ly0, lbw, lbh, mode="constant")
+        # Match frame: right pyramid, same origin (its coordinate frame is
+        # already shifted by search.min at full res).
+        mh = lbh + s_h_l - 1
+        mw = lbw + s_w_l - 1
+        mbase = crop_extended(right_pyr[level], lx0, ly0, mw, mh, mode="constant")
+
+        disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff, s_y_eff,
+                                    kw, kh, cost_type, census_window)
+        disp = disp[:out_h, :out_w]
+        valid = valid[:out_h, :out_w]
+        dm = DisparityMap(disp, valid)
+
+        # L<->R consistency check at level 0 (CorrelationView.cc:653-695).
+        if on_last and consistency_threshold >= 0:
+            # RL search: base = right frame, match = left; RL offsets cover
+            # the negation of each tile's LR window.
+            rl_out_h = min(out_h + s_h, rmask_pyr[level].shape[0])
+            rl_out_w = min(out_w + s_w, rmask_pyr[level].shape[1])
+            rnty, rntx = _cdiv(rl_out_h, t), _cdiv(rl_out_w, t)
+            # Reuse LR tile offsets where available; edge tiles fall back to 0.
+            pad_ty, pad_tx = rnty - offsets.shape[0], rntx - offsets.shape[1]
+            off_rl_src = jnp.pad(offsets, ((0, max(pad_ty, 0)), (0, max(pad_tx, 0)),
+                                           (0, 0)))[:rnty, :rntx]
+            # d_rl = -(off + S - 1) + rel, rel in [0, S)
+            neg_off = -(off_rl_src + jnp.array([s_x_eff - 1, s_y_eff - 1], jnp.int32))
+            rbh = rnty * t + kh - 1
+            rbw = rntx * t + kw - 1
+            rl_base = crop_extended(right_pyr[level], lx0, ly0, rbw, rbh,
+                                    mode="constant")
+            # Match = left frame; negative offsets need an origin shift: crop
+            # the left pyramid with a (S-1 + max_off) margin on top/left so
+            # all shifted offsets stay non-negative.
+            max_off_x_v = s_w_l - s_x_eff
+            max_off_y_v = s_h_l - s_y_eff
+            margin_x = s_x_eff - 1 + max_off_x_v
+            margin_y = s_y_eff - 1 + max_off_y_v
+            lm_h = rbh + s_y_eff - 1 + margin_y
+            lm_w = rbw + s_x_eff - 1 + margin_x
+            rl_match = crop_extended(left_pyr[level], lx0 - margin_x,
+                                     ly0 - margin_y, lm_w, lm_h, mode="constant")
+            rl_origin = jnp.array([margin_x, margin_y], jnp.int32)
+            rl_disp, rl_valid = _tiled_search(
+                rl_base, rl_match, neg_off + rl_origin,
+                t, s_x_eff, s_y_eff, kw, kh, cost_type, census_window)
+            rl_disp = rl_disp - rl_origin
+            rl_dm = DisparityMap(rl_disp[:rl_out_h, :rl_out_w],
+                                 rl_valid[:rl_out_h, :rl_out_w])
+            dm = cross_corr_consistency_check(dm, rl_dm, consistency_threshold)
+
+        # Per-level speckle filtering (CorrelationView.cc:707-745).
+        if filter_half_kernel > 0:
+            if not on_last:
+                dm = disparity_cleanup_using_thresh(dm, filter_half_kernel,
+                                                    filter_half_kernel, 3.0, 0.5)
+            else:
+                dm = rm_outliers_using_thresh(dm, filter_half_kernel,
+                                              filter_half_kernel, 3.0, 0.5)
+            lm = lmask_pyr[level][:out_h, :out_w]
+            rm = rmask_pyr[level]
+            dm = disparity_mask(dm, lm, rm)
+
+        if keep_levels:
+            level_results.append(dm)
+
+    # Absolute disparities (CorrelationView.cc: final offset add).
+    final = DisparityMap(
+        jnp.where(dm.valid[..., None],
+                  dm.disparity + jnp.array([smin_x, smin_y], dm.disparity.dtype), 0),
+        dm.valid)
+
+    if subpixel == "parabola":
+        final = parabola_subpixel(final, left, right, (kw, kh),
+                                  prefilter_mode, prefilter_width)
+    elif subpixel != "none":
+        raise ValueError(f"unknown subpixel mode {subpixel!r}")
+
+    if keep_levels:
+        return PyramidCorrResult(final, level_results)
+    return final
