@@ -1,0 +1,111 @@
+"""FileIO tests (model: ``src/vw/FileIO/tests/`` round-trip reads per format,
+``TestBlockFileIO.cxx`` block IO, ``TestDiskImageResource.cxx``)."""
+
+import numpy as np
+import pytest
+
+from visionworkbench_tpu.fileio import (
+    DiskCacheImageView, DiskImageView, TiffInfo, block_write_image, image_size,
+    read_image, read_tiff, read_tiff_region, write_image, write_tiff,
+)
+from visionworkbench_tpu.math.bbox import BBox2i
+
+
+@pytest.mark.parametrize("dtype,bands", [
+    (np.uint8, 1), (np.uint16, 1), (np.float32, 1),
+    (np.uint8, 3), (np.float32, 3), (np.float64, 1), (np.int32, 1),
+])
+def test_tiff_roundtrip_stripped(tmp_path, rng, dtype, bands):
+    shape = (37, 53) if bands == 1 else (37, 53, bands)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.random(shape).astype(dtype)
+    else:
+        arr = (rng.random(shape) * 200).astype(dtype)
+    path = str(tmp_path / "t.tif")
+    write_tiff(path, arr)
+    back, info = read_tiff(path)
+    np.testing.assert_array_equal(back, arr)
+    assert info.dtype == np.dtype(dtype)
+
+
+def test_tiff_roundtrip_tiled(tmp_path, rng):
+    arr = rng.random((100, 70)).astype(np.float32)
+    path = str(tmp_path / "t.tif")
+    write_tiff(path, arr, tile_size=32)
+    back, info = read_tiff(path)
+    assert info.tiled
+    np.testing.assert_array_equal(back, arr)
+    # region read
+    reg = read_tiff_region(path, 10, 20, 45, 33)
+    np.testing.assert_array_equal(reg, arr[20:53, 10:55])
+
+
+def test_tiff_nodata_and_geotiff_tags(tmp_path):
+    class FakeGeoref:
+        transform = np.array([[0.5, 0, 100.0], [0, -0.5, 40.0], [0, 0, 1]])
+        def geo_keys(self):
+            # GTModelType=2 (geographic), GeogAngularUnits=9102
+            return ([(1024, 0, 1, 2), (2054, 0, 1, 9102)], [], "WGS 84|")
+    arr = np.zeros((8, 8), np.float32)
+    path = str(tmp_path / "geo.tif")
+    write_tiff(path, arr, georef=FakeGeoref(), nodata=-99.0)
+    info = TiffInfo(path)
+    assert info.nodata == -99.0
+    gt = info.geo_transform()
+    np.testing.assert_allclose(gt, FakeGeoref.transform)
+    keys, doubles, ascii_params = info.geo_keys()
+    assert (1024, 0, 1, 2) in keys
+    assert "WGS 84" in ascii_params
+
+
+def test_png_roundtrip(tmp_path, rng):
+    arr = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "t.png")
+    write_image(path, arr)
+    back = read_image(path, dtype=None)
+    np.testing.assert_array_equal(back, arr)
+    # float read rescales to [0,1]
+    f = read_image(path, np.float32)
+    assert f.max() <= 1.0
+    assert image_size(path) == (20, 30)
+
+
+def test_disk_image_view_cached_regions(tmp_path, rng):
+    arr = rng.random((90, 120)).astype(np.float32)
+    path = str(tmp_path / "big.tif")
+    write_tiff(path, arr, tile_size=32)
+    view = DiskImageView(path, tile_size=32)
+    assert view.shape == (90, 120)
+    reg = view.read_region(BBox2i(15, 10, 50, 40))
+    np.testing.assert_array_equal(reg, arr[10:50, 15:65])
+    np.testing.assert_array_equal(view.read(), arr)
+
+
+def test_disk_cache_image_view(rng):
+    arr = rng.random((40, 40)).astype(np.float32)
+    cached = DiskCacheImageView(arr, tile_size=16)
+    np.testing.assert_array_equal(cached.read_region(BBox2i(5, 5, 20, 20)),
+                                  arr[5:25, 5:25])
+
+
+def test_block_write_image_ordered(tmp_path):
+    h, w = 70, 100
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    full = xs * 0.1 + ys * 10
+
+    def tile_fn(bbox):
+        return full[bbox.slices()]
+
+    path = str(tmp_path / "blocks.tif")
+    block_write_image(path, h, w, 1, np.float32, tile_fn, tile_size=32,
+                      num_threads=4)
+    back, _ = read_tiff(path)
+    np.testing.assert_array_equal(back, full)
+
+
+def test_block_write_propagates_errors(tmp_path):
+    def bad_tile(bbox):
+        raise RuntimeError("boom")
+    with pytest.raises(RuntimeError, match="boom"):
+        block_write_image(str(tmp_path / "x.tif"), 64, 64, 1, np.float32,
+                          bad_tile, tile_size=32)
