@@ -1,0 +1,157 @@
+"""Camera model tests (model: ``src/vw/Camera/tests/TestPinholeModel.cxx``,
+``TestCAHV*.cxx`` round-trip and fixture checks)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.camera import (
+    AdjustedCameraModel, CAHVModel, CAHVORModel, PinholeModel,
+    TsaiLensDistortion, bayer_demosaic, epipolar_rectify, pinhole_to_cahv,
+    read_cahv_model, read_pinhole_model, undistort_image, write_pinhole_model,
+)
+from visionworkbench_tpu.math.quaternion import euler_to_rotation_matrix
+from visionworkbench_tpu.stereo.stereo_model import (
+    StereoModel, triangulate_pair, triangulate_point_multiview,
+)
+
+
+def _test_camera():
+    r = np.asarray(euler_to_rotation_matrix(0.1, -0.2, 0.05))
+    return PinholeModel((10.0, -5.0, 2.0), r, (500.0, 510.0), (320.0, 240.0))
+
+
+def test_pinhole_project_unproject_roundtrip():
+    cam = _test_camera()
+    pts = np.array([[12.0, -4.0, 30.0], [5.0, 0.0, 50.0], [11.0, -6.0, 20.0]])
+    pix = np.asarray(cam.point_to_pixel(jnp.asarray(pts)))
+    rays = np.asarray(cam.pixel_to_vector(jnp.asarray(pix)))
+    # Ray through the original point
+    d = pts - cam.C
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    np.testing.assert_allclose(rays, d, atol=1e-4)
+
+
+def test_pinhole_with_tsai_distortion_roundtrip():
+    cam = PinholeModel((0, 0, 0), np.eye(3), (400.0, 400.0), (256.0, 256.0),
+                       TsaiLensDistortion(k1=-0.1, k2=0.02, p1=1e-3, p2=-5e-4))
+    pts = np.array([[0.3, 0.2, 2.0], [-0.5, 0.4, 3.0]])
+    pix = np.asarray(cam.point_to_pixel(jnp.asarray(pts)))
+    rays = np.asarray(cam.pixel_to_vector(jnp.asarray(pix)))
+    d = pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+    np.testing.assert_allclose(rays, d, atol=1e-4)
+
+
+def test_tsai_file_roundtrip(tmp_path):
+    cam = _test_camera()
+    cam.distortion = TsaiLensDistortion(-0.05, 0.01, 1e-4, 2e-4, 0.001)
+    path = str(tmp_path / "cam.tsai")
+    write_pinhole_model(path, cam)
+    back = read_pinhole_model(path)
+    np.testing.assert_allclose(back.C, cam.C)
+    np.testing.assert_allclose(back.R, cam.R)
+    assert (back.fu, back.fv, back.cu, back.cv) == (cam.fu, cam.fv, cam.cu, cam.cv)
+    np.testing.assert_allclose(back.distortion.params, cam.distortion.params)
+
+
+def test_adjusted_camera_translation():
+    cam = _test_camera()
+    adj = AdjustedCameraModel(cam, translation=(1.0, 2.0, 3.0))
+    np.testing.assert_allclose(np.asarray(adj.camera_center()),
+                               cam.C + [1, 2, 3], atol=1e-5)
+    # A world point projects like the shifted camera sees it.
+    p = jnp.asarray([[15.0, 0.0, 40.0]])
+    pix_adj = np.asarray(adj.point_to_pixel(p))
+    cam2 = PinholeModel(cam.C + [1, 2, 3], cam.R, (cam.fu, cam.fv),
+                        (cam.cu, cam.cv))
+    np.testing.assert_allclose(pix_adj, np.asarray(cam2.point_to_pixel(p)), atol=1e-3)
+
+
+def test_cahv_matches_pinhole():
+    cam = _test_camera()
+    cahv = pinhole_to_cahv(cam)
+    pts = jnp.asarray([[12.0, -4.0, 30.0], [8.0, -7.0, 25.0]])
+    np.testing.assert_allclose(np.asarray(cahv.point_to_pixel(pts)),
+                               np.asarray(cam.point_to_pixel(pts)), atol=1e-2)
+    rays_cahv = np.asarray(cahv.pixel_to_vector(jnp.asarray([[320.0, 240.0]])))
+    rays_pin = np.asarray(cam.pixel_to_vector(jnp.asarray([[320.0, 240.0]])))
+    np.testing.assert_allclose(rays_cahv, rays_pin, atol=1e-5)
+
+
+def test_cahvor_distortion_roundtrip():
+    cam = _test_camera()
+    base = pinhole_to_cahv(cam)
+    cahvor = CAHVORModel(base.C, base.A, base.H, base.V,
+                         base.A, (0.0, -0.001, 0.0002))
+    pix = jnp.asarray([[300.0, 250.0], [340.0, 200.0]])
+    rays = cahvor.pixel_to_vector(pix)
+    pts = jnp.asarray(cahvor.camera_center()) + rays * 50.0
+    pix_back = np.asarray(cahvor.point_to_pixel(pts))
+    np.testing.assert_allclose(pix_back, np.asarray(pix), atol=1e-2)
+
+
+def test_cahv_file_read(tmp_path):
+    path = str(tmp_path / "cam.cahv")
+    with open(path, "w") as f:
+        f.write("C = 0 0 0\nA = 0 0 1\nH = 500 0 320\nV = 0 500 240\n")
+    cam = read_cahv_model(path)
+    assert isinstance(cam, CAHVModel)
+    pix = np.asarray(cam.point_to_pixel(jnp.asarray([[0.0, 0.0, 10.0]])))
+    np.testing.assert_allclose(pix, [[320.0, 240.0]], atol=1e-4)
+
+
+def test_undistort_image_identity_for_null():
+    cam = _test_camera()
+    img = jnp.asarray(np.random.default_rng(0).random((48, 64)), jnp.float32)
+    out = undistort_image(img, cam)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_epipolar_rectification_aligns_rows():
+    r1 = np.asarray(euler_to_rotation_matrix(0.02, -0.01, 0.005))
+    r2 = np.asarray(euler_to_rotation_matrix(-0.01, 0.02, -0.004))
+    cam1 = PinholeModel((0, 0, 0), r1, (500, 500), (320, 240))
+    cam2 = PinholeModel((1.0, 0, 0), r2, (500, 500), (320, 240))
+    e1, e2 = epipolar_rectify(cam1, cam2)
+    # A 3D point projects to the same row in both rectified cameras.
+    pts = jnp.asarray([[0.3, 0.2, 10.0], [-0.5, 0.6, 8.0], [2.0, -1.0, 15.0]])
+    p1 = np.asarray(e1.point_to_pixel(pts))
+    p2 = np.asarray(e2.point_to_pixel(pts))
+    np.testing.assert_allclose(p1[:, 1], p2[:, 1], atol=1e-3)
+
+
+def test_triangulation_recovers_point():
+    cam1 = PinholeModel((0, 0, 0), np.eye(3), (500, 500), (320, 240))
+    cam2 = PinholeModel((1.0, 0, 0), np.eye(3), (500, 500), (320, 240))
+    model = StereoModel(cam1, cam2)
+    pt_true = np.array([[0.4, -0.2, 12.0]])
+    pix1 = cam1.point_to_pixel(jnp.asarray(pt_true))
+    pix2 = cam2.point_to_pixel(jnp.asarray(pt_true))
+    point, err, valid = model.triangulate(pix1, pix2)
+    assert bool(valid[0])
+    np.testing.assert_allclose(np.asarray(point), pt_true, atol=1e-2)
+    assert float(err[0]) < 1e-2
+
+
+def test_triangulation_parallel_rays_invalid():
+    cam1 = PinholeModel((0, 0, 0), np.eye(3), (500, 500), (320, 240))
+    cam2 = PinholeModel((0, 0, 0), np.eye(3), (500, 500), (320, 240))
+    model = StereoModel(cam1, cam2)
+    point, err, valid = model.triangulate(jnp.asarray([[320.0, 240.0]]),
+                                          jnp.asarray([[320.0, 240.0]]))
+    assert not bool(valid[0])
+
+
+def test_multiview_triangulation_matches_pair():
+    dirs = jnp.asarray([[[0.0, 0.0, 1.0]], [[0.1, 0.0, 0.995]]])
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    ctrs = jnp.asarray([[[0.0, 0.0, 0.0]], [[-1.0, 0.0, 0.0]]])
+    p_pair, _ = triangulate_pair(dirs[0], ctrs[0], dirs[1], ctrs[1])
+    p_multi, err = triangulate_point_multiview(dirs, ctrs)
+    np.testing.assert_allclose(np.asarray(p_pair), np.asarray(p_multi), atol=1e-3)
+
+
+def test_bayer_demosaic_flat_field():
+    mosaic = jnp.full((16, 16), 0.5, jnp.float32)
+    rgb = np.asarray(bayer_demosaic(mosaic))
+    np.testing.assert_allclose(rgb, 0.5, atol=1e-5)

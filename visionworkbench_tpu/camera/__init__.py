@@ -1,0 +1,19 @@
+"""Camera models — TPU-native replacement for ``src/vw/Camera/``."""
+
+from visionworkbench_tpu.camera.model import AdjustedCameraModel, CameraModel
+from visionworkbench_tpu.camera.distortion import (
+    BrownConradyDistortion, DISTORTION_TYPES, FisheyeDistortion, FovDistortion,
+    NullLensDistortion, PhotometrixDistortion, TsaiLensDistortion,
+)
+from visionworkbench_tpu.camera.pinhole import (
+    PinholeModel, read_pinhole_model, write_pinhole_model,
+)
+from visionworkbench_tpu.camera.cahv import (
+    CAHVModel, CAHVOREModel, CAHVORModel, pinhole_to_cahv, read_cahv_model,
+)
+from visionworkbench_tpu.camera.transform import (
+    camera_transform, camera_transform_map, undistort_image, undistorted_camera,
+)
+from visionworkbench_tpu.camera.epipolar import epipolar_rectify
+from visionworkbench_tpu.camera.exif import ExifView
+from visionworkbench_tpu.camera.bayer import bayer_demosaic

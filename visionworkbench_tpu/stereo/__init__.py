@@ -18,3 +18,6 @@ from visionworkbench_tpu.stereo.disparity import (
 from visionworkbench_tpu.stereo.pyramid_correlation import (
     max_pyramid_levels_for, pyramid_correlate,
 )
+from visionworkbench_tpu.stereo.stereo_model import (
+    StereoModel, triangulate_pair, triangulate_point_multiview,
+)
