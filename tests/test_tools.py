@@ -1,0 +1,143 @@
+"""CLI tool integration tests (model: ``src/test/image2qtree_test.py`` — the
+reference's only end-to-end tool test; here every tool gets one)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.fileio import read_tiff, write_tiff, write_image
+from visionworkbench_tpu.cartography import make_geographic_georef
+from visionworkbench_tpu.tools.correlate import main as correlate_main
+from visionworkbench_tpu.tools.ipfind import main as ipfind_main
+from visionworkbench_tpu.tools.ipmatch import main as ipmatch_main
+from visionworkbench_tpu.tools.hillshade import main as hillshade_main
+from visionworkbench_tpu.tools.colormap import main as colormap_main
+from visionworkbench_tpu.tools.image2qtree import main as image2qtree_main
+from visionworkbench_tpu.tools.undistort_image import main as undistort_main
+from visionworkbench_tpu.tools.georef_query import main as georef_query_main
+from visionworkbench_tpu.tools.convert_pinhole_model import main as convert_main
+
+
+@pytest.fixture
+def stereo_pair(tmp_path, rng):
+    h, w, dx = 80, 100, 5
+    ys, xs = np.mgrid[0:h, 0:w + dx].astype(np.float32)
+    tex = (np.sin(xs * 0.4) * np.cos(ys * 0.3)
+           + 0.3 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:, :w]
+    right = np.array(rng.random((h, w)), np.float32)
+    right[:, dx:] = tex[:, dx:w]
+    right = np.roll(tex[:, :w], dx, axis=1)  # right[x] = left[x - dx] -> d=-5?
+    # Use exact construction: right[:, x] = left[:, x - dx]; match left(p)=right(p+d)
+    # left[c] = right[c + dx] -> d = +dx
+    right = np.zeros((h, w), np.float32)
+    right[:] = rng.random((h, w))
+    right[:, dx:] = left[:, :w - dx]
+    lp, rp = str(tmp_path / "left.tif"), str(tmp_path / "right.tif")
+    write_tiff(lp, left)
+    write_tiff(rp, right)
+    return lp, rp, dx
+
+
+def test_correlate_tool(stereo_pair, tmp_path, capsys):
+    lp, rp, dx = stereo_pair
+    out_prefix = str(tmp_path / "disp")
+    rc = correlate_main([lp, rp, "-o", out_prefix, "--xrange", "10",
+                         "--yrange", "2", "--yoffset", "-1",
+                         "--kernel", "7", "7", "--max-pyramid-levels", "1",
+                         "--tile-size", "16", "--prefilter", "none"])
+    assert rc == 0
+    disp, _ = read_tiff(out_prefix + ".tif")
+    assert disp.shape == (80, 100, 3)
+    valid = disp[..., 2] > 0.5
+    core = np.s_[10:-10, 12:-10]
+    correct = (disp[..., 0][core][valid[core]] == dx)
+    assert correct.mean() > 0.85
+
+
+def test_ipfind_ipmatch_tools(tmp_path, rng, capsys):
+    from scipy.ndimage import gaussian_filter as blur
+    base = blur(rng.random((110, 130)), 1.5).astype(np.float32)
+    a = base[:90, :110]
+    b = base[4:94, 6:116]
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    write_image(pa, a)
+    write_image(pb, b)
+    assert ipfind_main([pa, pb, "--max-points", "200",
+                        "--interest-operator", "harris", "--single-scale",
+                        "--threshold", "1e-8"]) == 0
+    assert os.path.exists(str(tmp_path / "a.vwip"))
+    os.chdir(tmp_path)
+    assert ipmatch_main([pa, pb, "--matcher-threshold", "0.8",
+                         "--ransac-constraint", "similarity",
+                         "--inlier-threshold", "3.0", "--debug-image"]) == 0
+    out = capsys.readouterr().out
+    assert "RANSAC kept" in out
+    assert os.path.exists(str(tmp_path / "a__b.match"))
+    assert os.path.exists(str(tmp_path / "a__b_debug.png"))
+
+
+def test_hillshade_colormap_tools(tmp_path, capsys):
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    dem = (100 * np.exp(-((xs - 32) ** 2 + (ys - 32) ** 2) / 300)).astype(np.float32)
+    g = make_geographic_georef(-120.0, 40.0, 0.001)
+    dem_path = str(tmp_path / "dem.tif")
+    write_tiff(dem_path, dem, georef=g)
+    sh_path = str(tmp_path / "shade.tif")
+    assert hillshade_main([dem_path, "-o", sh_path]) == 0
+    shade, _ = read_tiff(sh_path)
+    assert shade.shape == (64, 64)
+    assert 0 <= shade.min() and shade.max() <= 1
+    cm_path = str(tmp_path / "cmap.png")
+    assert colormap_main([dem_path, "-o", cm_path,
+                          "--shaded-relief-file", sh_path]) == 0
+    assert os.path.getsize(cm_path) > 500
+
+
+def test_image2qtree_tool(tmp_path, rng, capsys):
+    g1 = make_geographic_georef(-120.0, 40.0, 0.001)
+    g2 = make_geographic_georef(-119.95, 40.0, 0.001)
+    img1 = (0.5 + 0.5 * rng.random((64, 80))).astype(np.float32)
+    img2 = (0.5 + 0.5 * rng.random((64, 80))).astype(np.float32)
+    p1, p2 = str(tmp_path / "a_geo.tif"), str(tmp_path / "b_geo.tif")
+    write_tiff(p1, img1, georef=g1)
+    write_tiff(p2, img2, georef=g2)
+    name = str(tmp_path / "qt")
+    assert image2qtree_main([p1, p2, "-o", name, "--tile-size", "64",
+                             "--blend", "draft"]) == 0
+    assert os.path.exists(name + ".kml")
+    out = capsys.readouterr().out
+    assert "tiles under" in out
+
+
+def test_undistort_and_convert_tools(tmp_path, rng, capsys):
+    from visionworkbench_tpu.camera import (
+        PinholeModel, TsaiLensDistortion, read_pinhole_model,
+        write_pinhole_model,
+    )
+    cam = PinholeModel((0, 0, 0), np.eye(3), (300, 300), (40, 32),
+                       TsaiLensDistortion(k1=-0.15))
+    cam_path = str(tmp_path / "cam.tsai")
+    write_pinhole_model(cam_path, cam)
+    img_path = str(tmp_path / "img.tif")
+    write_tiff(img_path, rng.random((64, 80)).astype(np.float32))
+    out_path = str(tmp_path / "und.tif")
+    assert undistort_main([img_path, cam_path, "-o", out_path]) == 0
+    und, _ = read_tiff(out_path)
+    assert und.shape == (64, 80)
+    out_tsai = str(tmp_path / "converted.tsai")
+    assert convert_main([img_path, cam_path, "-o", out_tsai,
+                         "--sample-spacing", "10"]) == 0
+    back = read_pinhole_model(out_tsai)
+    assert back.distortion.params[0] == pytest.approx(-0.15, abs=0.01)
+
+
+def test_georef_query_tool(tmp_path, capsys):
+    g = make_geographic_georef(-120.0, 40.0, 0.001)
+    path = str(tmp_path / "g.tif")
+    write_tiff(path, np.zeros((32, 32), np.float32), georef=g, nodata=-1.0)
+    assert georef_query_main([path]) == 0
+    out = capsys.readouterr().out
+    assert "32x32" in out and "nodata: -1.0" in out and "lonlat bbox" in out

@@ -165,6 +165,7 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       refine_window: int = 11,
                       census_window: int = 5,
                       subpixel: str = "none",
+                      blob_filter_area: int = 0,
                       keep_levels: bool = False) -> DisparityMap:
     """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
     CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
@@ -355,6 +356,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             lm = lmask_pyr[level][:out_h, :out_w]
             rm = rmask_pyr[level]
             dm = disparity_mask(dm, lm, rm)
+
+        # Isolated-blob removal (ref disparity_blob_filter,
+        # CorrelationView.cc:241-280: area threshold scaled by level).
+        if blob_filter_area > 0:
+            area = blob_filter_area // scaling
+            if area >= 1:
+                from visionworkbench_tpu.image.morphology import remove_small_blobs
+                keep = remove_small_blobs(dm.valid, area)
+                dm = DisparityMap(jnp.where(keep[..., None], dm.disparity, 0), keep)
 
         if keep_levels:
             level_results.append(dm)
