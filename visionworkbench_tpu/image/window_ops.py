@@ -85,7 +85,7 @@ def raised_cosine_window(rows: int, cols: int, beta: float = 0.35):
     Fourier.h)."""
     def rc(n):
         t = jnp.abs(jnp.linspace(-0.5, 0.5, n))
-        flat = (t <= (1 - beta) / 2).astype(jnp.float32)
-        edge = 0.5 * (1 + jnp.cos(jnp.pi / beta * (t - (1 - beta) / 2)))
-        return jnp.where(t <= (1 - beta) / 2, flat, edge * (t <= 0.5))
+        a = (1 - beta) / 2
+        edge = 0.5 * (1 + jnp.cos(jnp.pi * (t - a) / (0.5 - a)))
+        return jnp.where(t <= a, 1.0, edge)
     return rc(rows)[:, None] * rc(cols)[None, :]
