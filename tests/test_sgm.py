@@ -1,0 +1,87 @@
+"""SGM/MGM tests (model: ``src/vw/Stereo/tests/TestSGM.cxx`` — known-shift
+recovery over cost modes and subpixel modes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visionworkbench_tpu.stereo.sgm import SUBPIXEL_MODES, calc_disparity_sgm
+
+
+def _pair(rng, h=40, w=48, shift=(3, 1), search=(6, 3)):
+    sx, sy = search
+    dx, dy = shift
+    ys, xs = np.mgrid[0:h + sy - 1, 0:w + sx - 1].astype(np.float32)
+    tex = (0.5 + 0.25 * np.sin(xs * 0.7) * np.cos(ys * 0.55)
+           + 0.25 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = np.array(rng.random((h + sy - 1, w + sx - 1)), np.float32) * 0.5
+    right[dy:dy + h, dx:dx + w] = left
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+@pytest.mark.parametrize("cost_type", ["census", "ternary_census"])
+def test_sgm_known_shift(rng, cost_type):
+    shift = (3, 1)
+    left, right = _pair(rng, shift=shift)
+    dm = calc_disparity_sgm(left, right, (6, 3), kernel_size=5,
+                            cost_type=cost_type, subpixel="none")
+    disp = np.asarray(dm.disparity)
+    core = np.s_[6:-6, 6:-6]
+    correct = ((disp[core][..., 0] == shift[0]) &
+               (disp[core][..., 1] == shift[1]))
+    assert correct.mean() > 0.95, f"correct: {correct.mean()}"
+
+
+def test_mgm_known_shift(rng):
+    shift = (2, 1)
+    left, right = _pair(rng, shift=shift, search=(5, 3))
+    dm = calc_disparity_sgm(left, right, (5, 3), kernel_size=5, use_mgm=True,
+                            subpixel="none")
+    disp = np.asarray(dm.disparity)
+    core = np.s_[6:-6, 6:-6]
+    correct = ((disp[core][..., 0] == shift[0]) &
+               (disp[core][..., 1] == shift[1]))
+    assert correct.mean() > 0.95, f"correct: {correct.mean()}"
+
+
+def test_sgm_smooths_textureless_region(rng):
+    # Weak texture band: plain WTA would speckle; SGM should propagate.
+    h, w = 40, 48
+    shift = (2, 0)
+    sx, sy = 5, 1
+    ys, xs = np.mgrid[0:h + sy - 1, 0:w + sx - 1].astype(np.float32)
+    tex = (0.5 + 0.3 * np.sin(xs * 0.8) * np.cos(ys * 0.6)).astype(np.float32)
+    tex[:, 20:34] = 0.5  # flat band
+    tex += 0.02 * rng.random(tex.shape).astype(np.float32)
+    left = jnp.asarray(tex[:h, :w])
+    right_np = np.zeros((h, w + sx - 1), np.float32) + 0.5
+    right_np[:, shift[0]:shift[0] + w] = np.asarray(left)
+    right = jnp.asarray(right_np)
+    dm = calc_disparity_sgm(left, right, (sx, sy), kernel_size=5,
+                            subpixel="none")
+    disp = np.asarray(dm.disparity)[..., 0]
+    core = disp[6:-6, 6:-6]
+    assert (core == shift[0]).mean() > 0.9
+
+
+@pytest.mark.parametrize("mode", ["parabola", "linear", "cosine", "lc_blend"])
+def test_sgm_subpixel_modes(rng, mode):
+    left, right = _pair(rng, shift=(3, 1), search=(6, 3))
+    dm = calc_disparity_sgm(left, right, (6, 3), kernel_size=5, subpixel=mode)
+    assert dm.disparity.dtype == jnp.float32
+    disp = np.asarray(dm.disparity)
+    core = np.s_[6:-6, 6:-6]
+    err = np.abs(disp[core][..., 0] - 3)
+    assert np.median(err) < 0.5
+
+
+def test_sgm_bad_args():
+    import jax.numpy as jnp
+    from visionworkbench_tpu.core.exceptions import ArgumentErr
+    left = jnp.zeros((10, 10))
+    with pytest.raises(ArgumentErr):
+        calc_disparity_sgm(left, jnp.zeros((10, 12)), (3, 1),
+                           cost_type="abs")
+    with pytest.raises(ArgumentErr):
+        calc_disparity_sgm(left, jnp.zeros((10, 10)), (3, 1))  # wrong shape

@@ -21,3 +21,8 @@ from visionworkbench_tpu.stereo.pyramid_correlation import (
 from visionworkbench_tpu.stereo.stereo_model import (
     StereoModel, triangulate_pair, triangulate_point_multiview,
 )
+from visionworkbench_tpu.stereo.sgm import calc_disparity_sgm
+from visionworkbench_tpu.stereo.subpixel_refine import (
+    affine_subpixel, lk_subpixel, phase_subpixel,
+)
+from visionworkbench_tpu.stereo.correval import corr_eval

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "to this .match file")
     p.add_argument("--tile-size", type=int, default=32,
                    help="refinement tile size (search offsets granularity)")
+    p.add_argument("--use-sgm", action="store_true",
+                   help="semi-global matching instead of block matching")
+    p.add_argument("--use-mgm", action="store_true",
+                   help="MGM smooth variant (implies census costs)")
     return p
 
 
@@ -77,6 +81,32 @@ def main(argv=None) -> int:
                                      (left.shape[0], left.shape[1])))
 
     search = BBox2i(args.xoffset, args.yoffset, args.xrange, args.yrange)
+    if args.use_sgm or args.use_mgm:
+        from visionworkbench_tpu.image.edge import crop_extended
+        from visionworkbench_tpu.stereo import calc_disparity_sgm
+        h, w = left.shape
+        right_c = crop_extended(jnp.asarray(right), args.xoffset, args.yoffset,
+                                w + args.xrange - 1, h + args.yrange - 1,
+                                mode="constant")
+        with Timer("correlation time"):
+            dm = calc_disparity_sgm(
+                jnp.asarray(left), right_c, (args.xrange, args.yrange),
+                kernel_size=5,
+                cost_type=("census" if args.cost_mode not in
+                           ("census", "ternary_census") else args.cost_mode),
+                use_mgm=args.use_mgm,
+                subpixel="parabola" if args.subpixel != "none" else "none")
+            disp = np.asarray(dm.disparity) + [args.xoffset, args.yoffset]
+            valid = np.asarray(dm.valid)
+        out = np.concatenate([disp.astype(np.float32),
+                              valid[..., None].astype(np.float32)], axis=-1)
+        out_path = args.output_prefix + ".tif"
+        write_tiff(out_path, out, tile_size=256)
+        n_valid = int(valid.sum())
+        print(f"Wrote {out_path}: {disp.shape[1]}x{disp.shape[0]}, "
+              f"{n_valid} valid px ({100.0 * n_valid / valid.size:.1f}%)")
+        return 0
+
     with Timer("correlation time"):
         dm = pyramid_correlate(
             jnp.asarray(left), jnp.asarray(right), search,
