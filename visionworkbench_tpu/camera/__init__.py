@@ -17,3 +17,7 @@ from visionworkbench_tpu.camera.transform import (
 from visionworkbench_tpu.camera.epipolar import epipolar_rectify
 from visionworkbench_tpu.camera.exif import ExifView
 from visionworkbench_tpu.camera.bayer import bayer_demosaic
+from visionworkbench_tpu.camera.geometry import (
+    camera_from_points, decompose_camera_matrix, fit_camera_matrix,
+)
+from visionworkbench_tpu.camera.optical_bar import OpticalBarModel

@@ -22,3 +22,12 @@ from visionworkbench_tpu.cartography.point_image import (
     cartesian_to_geodetic, dem_to_geodetic, dem_to_point_image,
     geodetic_to_cartesian, point_image_to_dem,
 )
+from visionworkbench_tpu.cartography.map2cam import (
+    Datum2CamTrans, Map2CamTrans, orthoproject,
+)
+from visionworkbench_tpu.cartography.bathymetry import (
+    BathyStereoModel, snell_refraction,
+)
+from visionworkbench_tpu.cartography.shapefile import (
+    read_shapefile, write_shapefile,
+)

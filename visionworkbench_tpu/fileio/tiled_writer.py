@@ -42,6 +42,44 @@ def block_write_image(path: str, height: int, width: int, bands: int, dtype,
     progress = progress or dummy_progress()
 
     tiles = subdivide_bbox(BBox2i(0, 0, width, height), ts, ts)
+
+    # Fast path: the native C++ ordered writer (GIL-free IO + in-order commit
+    # with its own bounded window). Geo tags need the Python codec.
+    if georef is None and nodata is None:
+        try:
+            from visionworkbench_tpu.native import NativeTileWriter, available
+        except Exception:
+            available = lambda: False  # noqa: E731
+        if available():
+            nwriter = NativeTileWriter(path, height, width, bands, dtype, ts,
+                                       window)
+            error_n: list = []
+
+            def compute_native(i):
+                bbox = tiles[i]
+                try:
+                    tile = np.asarray(tile_fn(bbox)).astype(dtype, copy=False)
+                    nwriter.write_tile(bbox.min_x // ts, bbox.min_y // ts, tile)
+                    progress.report_progress((i + 1) / len(tiles))
+                except BaseException as e:
+                    error_n.append(e)
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [pool.submit(compute_native, i)
+                           for i in range(len(tiles))]
+                for f in futures:
+                    f.result()
+            if error_n:
+                # Surface the tile function's error, not the writer's
+                # incomplete-submission complaint.
+                try:
+                    nwriter.close()
+                except Exception:
+                    pass
+                raise error_n[0]
+            nwriter.close()
+            progress.report_finished()
+            return
     writer = TiffTileWriter(path, height, width, bands, dtype, tile_size=ts,
                             georef=georef, nodata=nodata)
     in_flight = threading.Semaphore(window)

@@ -1,0 +1,154 @@
+"""Fused Pallas TPU kernel for the block-matching cost-volume search
+(ref the hottest loop ``best_of_search_convolution``,
+``src/vw/Stereo/Correlation.cc:62-119`` + ``fast_box_sum``,
+``Stereo/Algorithms.h:41-131``; SURVEY.md section 2.13 items 1-2).
+
+The XLA formulation re-reads the shifted right image and writes the cost
+metric through HBM once per disparity. This kernel DMAs one output tile's
+left block and right search block into VMEM once, then sweeps the whole
+(static) disparity volume on-chip: per disparity an elementwise |L - R_d|,
+an unrolled separable box sum, and a compare/update of the running
+(best, worst, argbest) planes — pure VPU work with HBM traffic reduced to
+one read of each input tile and one write of the result planes.
+
+Mosaic constraints shape the code: the disparity loops are fully unrolled
+(dynamic sublane offsets must be 8-aligned) and every sliced sublane extent
+is padded to a multiple of 8.
+
+Semantics identical to the scan path: strict-improve best (first-best wins),
+worst = running max, flat invalidation via best == worst.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from visionworkbench_tpu.core.exceptions import ArgumentErr
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _ceil128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _make_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
+                 sx: int, sy: int, cost_type: str):
+    lh = tile_h + kh - 1          # true left-block rows
+    lw = tile_w + kw - 1
+    lh8 = _ceil8(lh)              # loaded (aligned) rows
+    rh8 = _ceil8(lh8 + sy - 1)
+    rw = lw + sx - 1
+    w_all = _ceil128(rw)          # common lane width: slices stay aligned,
+    #                               lane shifts become pltpu.roll
+
+    def kernel(l_hbm, r_hbm, best_ref, worst_ref, arg_ref, l_s, r_s, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ldma = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(i * tile_h, lh8), pl.ds(j * tile_w, w_all)], l_s,
+            sems.at[0])
+        rdma = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(i * tile_h, rh8), pl.ds(j * tile_w, w_all)], r_s,
+            sems.at[1])
+        ldma.start()
+        rdma.start()
+        ldma.wait()
+        rdma.wait()
+        left = l_s[:]             # (lh8, w_all)
+        best_ref[:] = jnp.full((tile_h, tile_w), 3.4e38, jnp.float32)
+        worst_ref[:] = jnp.full((tile_h, tile_w), -3.4e38, jnp.float32)
+        arg_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+
+        for dy in range(sy):
+            r_dy = lax.slice(r_s[:], (dy, 0), (dy + lh8, w_all))
+            for dx in range(sx):
+                r = pltpu.roll(r_dy, w_all - dx, 1) if dx else r_dy
+                if cost_type == "abs":
+                    c = jnp.abs(left - r)
+                else:
+                    dd = left - r
+                    c = dd * dd
+                rowsum = lax.slice(c, (0, 0), (tile_h, w_all))
+                for q in range(1, kh):
+                    rowsum = rowsum + lax.slice(c, (q, 0), (q + tile_h, w_all))
+                m = rowsum
+                for q in range(1, kw):
+                    m = m + pltpu.roll(rowsum, w_all - q, 1)
+                m = lax.slice(m, (0, 0), (tile_h, tile_w))
+                d = dy * sx + dx
+                best = best_ref[:]
+                better = m < best
+                best_ref[:] = jnp.where(better, m, best)
+                arg_ref[:] = jnp.where(better, d, arg_ref[:])
+                worst_ref[:] = jnp.maximum(worst_ref[:], m)
+
+    return kernel, lh8, w_all, rh8, w_all
+
+
+@functools.partial(jax.jit, static_argnames=("sx", "sy", "kw", "kh",
+                                             "cost_type", "tile", "interpret"))
+def pallas_best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
+                          cost_type: str = "abs", tile: int = 128,
+                          interpret: bool = False):
+    """Fused disparity search. ``left`` (H, W); ``right`` (H+sy-1, W+sx-1).
+    Returns (disp (H-kh+1, W-kw+1, 2) int32, valid bool, best f32) matching
+    the scan path's contract for abs/sq costs."""
+    if cost_type not in ("abs", "sq"):
+        raise ArgumentErr("pallas_best_of_search supports abs/sq costs")
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h, w = left.shape
+    out_h, out_w = h - kh + 1, w - kw + 1
+    tile_h = min(tile, _ceil8(out_h))
+    tile_w = min(tile, max(_ceil8(out_w), 128))
+    nty = -(-out_h // tile_h)
+    ntx = -(-out_w // tile_w)
+    kernel, lh8, lw, rh8, rw = _make_kernel(tile_h, tile_w, kw, kh, sx, sy,
+                                            cost_type)
+    # Pad inputs so the last tile's blocks stay in bounds (replicate edges;
+    # padded outputs are cropped away).
+    need_h = (nty - 1) * tile_h + rh8
+    need_w = (ntx - 1) * tile_w + rw
+    lpad = jnp.pad(left, ((0, max(need_h - h, 0)), (0, max(need_w - w, 0))),
+                   mode="edge")
+    rpad = jnp.pad(right, ((0, max(need_h - right.shape[0], 0)),
+                           (0, max(need_w - right.shape[1], 0))), mode="edge")
+
+    out_spec = pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    best, worst, arg = pl.pallas_call(
+        kernel,
+        grid=(nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((lh8, lw), jnp.float32),
+            pltpu.VMEM((rh8, rw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lpad, rpad)
+
+    best = best[:out_h, :out_w]
+    worst = worst[:out_h, :out_w]
+    arg = arg[:out_h, :out_w]
+    valid = best != worst
+    disp = jnp.stack([arg % sx, arg // sx], -1)
+    disp = jnp.where(valid[..., None], disp, 0)
+    return disp, valid, best

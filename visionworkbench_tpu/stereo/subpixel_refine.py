@@ -193,23 +193,26 @@ def _phase_windows(left, right, int_dx, int_dy, window: int, stride: int,
         rp = lax.dynamic_slice(right, (dy0, dx0), (window, window)) * win2
         f1 = jnp.fft.fft2(lp)
         f2 = jnp.fft.fft2(rp)
+        # Unnormalized cross spectrum: full phase-correlation whitening would
+        # amplify empty bins on narrow-band content; windows are already
+        # integer-aligned so the plain correlation peak is unambiguous.
         cross = f1 * jnp.conj(f2)
-        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-        # zero-padded inverse = Fourier upsampling of the correlation surface
-        up = window * upsample
-        padded = jnp.zeros((up, up), jnp.complex64)
+        # Fourier upsampling: zero-pad the spectrum, inverse transform, find
+        # the (sub-pixel) correlation peak — which sits at -shift.
+        m_up = window * upsample
         hw = window // 2
+        padded = jnp.zeros((m_up, m_up), jnp.complex64)
         padded = padded.at[:hw, :hw].set(cross[:hw, :hw])
         padded = padded.at[:hw, -hw:].set(cross[:hw, -hw:])
         padded = padded.at[-hw:, :hw].set(cross[-hw:, :hw])
         padded = padded.at[-hw:, -hw:].set(cross[-hw:, -hw:])
         corr = jnp.real(jnp.fft.ifft2(padded))
         peak = jnp.argmax(corr.reshape(-1))
-        py = peak // up
-        px = peak % up
-        # wrap to signed offsets
-        py = jnp.where(py > up // 2, py - up, py).astype(jnp.float32) / upsample
-        px = jnp.where(px > up // 2, px - up, px).astype(jnp.float32) / upsample
+        py = (peak // m_up).astype(jnp.int32)
+        px = (peak % m_up).astype(jnp.int32)
+        py = jnp.where(py > m_up // 2, py - m_up, py).astype(jnp.float32) / upsample
+        px = jnp.where(px > m_up // 2, px - m_up, px).astype(jnp.float32) / upsample
+        # disparity d satisfies left(p) = right(p + d); peak at -d.
         return jnp.stack([-px, -py])
 
     cyy, cxx = jnp.meshgrid(gy, gx, indexing="ij")
