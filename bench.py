@@ -56,14 +56,19 @@ def _measure(h, w, iters):
         return dm.disparity, dm.valid
 
     fn = jax.jit(forward)
+    # Warm up with a REAL materialization: on remote-relay platforms (axon)
+    # block_until_ready does not synchronize, so every timed iteration must
+    # end in a host readback of the result.
     out = fn(left, right)
-    jax.block_until_ready(out)   # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    _ = np.asarray(out[0])
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
         out = fn(left, right)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return (h * w * iters) / dt / 1e6  # Mp/s
+        _ = np.asarray(out[0])     # forces execution + result transfer
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return (h * w) / dt / 1e6  # Mp/s
 
 
 def main():

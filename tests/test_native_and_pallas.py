@@ -95,3 +95,23 @@ def test_block_write_native_fast_path(tmp_path):
                       num_threads=4)
     back, _ = read_tiff(path)
     np.testing.assert_array_equal(back, full)
+
+
+def test_pallas_tiled_search_matches_xla(rng):
+    import jax.numpy as jnp
+    from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
+    from visionworkbench_tpu.stereo.pyramid_correlation import _tiled_search
+    tile, s_x, s_y, kw, kh = 16, 5, 3, 7, 7
+    nty, ntx = 2, 3
+    base = jnp.asarray(rng.random((nty * tile + kh - 1 + 8,
+                                   ntx * tile + kw - 1 + 8)), jnp.float32)
+    match = jnp.asarray(rng.random((nty * tile + kh + s_y + 16,
+                                    ntx * tile + kw + s_x + 130)), jnp.float32)
+    offsets = jnp.asarray(rng.integers(0, 3, (nty, ntx, 2)), jnp.int32)
+    d1, v1 = pallas_tiled_search(base, match, offsets, tile, s_x, s_y, kw, kh,
+                                 "abs", interpret=True)
+    d2, v2 = _tiled_search(base, match, offsets, tile, s_x, s_y, kw, kh,
+                           "abs", 5)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

@@ -16,6 +16,7 @@ from visionworkbench_tpu.core.progress import (
     ProgressCallback, SubProgressCallback, TerminalProgressCallback, dummy_progress,
 )
 from visionworkbench_tpu.core.cache import Cache, CacheHandle, vw_system_cache
+from visionworkbench_tpu.core.profiling import RateCounter, materialize, trace
 
 __all__ = [
     "AbortedErr", "ArgumentErr", "InputErr", "IOErr", "LogicErr", "MathErr",

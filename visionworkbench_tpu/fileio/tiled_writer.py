@@ -24,6 +24,30 @@ from visionworkbench_tpu.math.bbox import BBox2i, subdivide_bbox
 from visionworkbench_tpu.fileio.tiff import TiffTileWriter
 
 
+def resume_completed_tiles(path: str, tile_size: int):
+    """Tile indices already present in a partially-written tiled TIFF — the
+    checkpoint/resume mechanism (SURVEY.md section 5: every output is a tiled
+    file written incrementally; resume = skip tiles already on disk). Returns
+    a set of (tx, ty) or an empty set if the file is absent/unreadable."""
+    import os
+    from visionworkbench_tpu.fileio.tiff import TiffInfo, T_TILE_OFFSETS
+    if not os.path.exists(path):
+        return set()
+    try:
+        info = TiffInfo(path)
+    except Exception:
+        return set()
+    if not info.tiled or info.tile_size[0] != tile_size:
+        return set()
+    offsets = info._get(T_TILE_OFFSETS, [])
+    ntx = -(-info.width // tile_size)
+    done = set()
+    for i, off in enumerate(offsets):
+        if off:
+            done.add((i % ntx, i // ntx))
+    return done
+
+
 def block_write_image(path: str, height: int, width: int, bands: int, dtype,
                       tile_fn: Callable[[BBox2i], np.ndarray],
                       tile_size: Optional[int] = None,

@@ -152,3 +152,127 @@ def pallas_best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
     disp = jnp.stack([arg % sx, arg // sx], -1)
     disp = jnp.where(valid[..., None], disp, 0)
     return disp, valid, best
+
+
+def _make_offset_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
+                        cost_type: str):
+    """Kernel variant with per-tile (dx, dy) search offsets scalar-prefetched
+    — the fused engine for the pyramid correlator's refine levels (the
+    reference's per-zone search ranges, Correlation.h:66-99)."""
+    lh = tile + kh - 1
+    lh8 = _ceil8(lh)
+    rh8 = _ceil8(lh8 + sy - 1)
+    lw = tile + kw - 1
+    w_all = _ceil128(lw + sx - 1)
+
+    def kernel(offs_ref, l_hbm, r_hbm, best_ref, worst_ref, arg_ref,
+               l_s, r_s, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nx = pl.num_programs(1)
+        t = i * nx + j
+        off_x = offs_ref[t, 0]
+        off_y = offs_ref[t, 1]
+        ldma = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(i * tile, lh8), pl.ds(j * tile, w_all)], l_s,
+            sems.at[0])
+        rdma = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(i * tile + off_y, rh8),
+                     pl.ds(j * tile + off_x, w_all)], r_s,
+            sems.at[1])
+        ldma.start()
+        rdma.start()
+        ldma.wait()
+        rdma.wait()
+        left = l_s[:]
+        best_ref[:] = jnp.full((tile, tile), 3.4e38, jnp.float32)
+        worst_ref[:] = jnp.full((tile, tile), -3.4e38, jnp.float32)
+        arg_ref[:] = jnp.zeros((tile, tile), jnp.int32)
+        for dy in range(sy):
+            r_dy = lax.slice(r_s[:], (dy, 0), (dy + lh8, w_all))
+            for dx in range(sx):
+                r = pltpu.roll(r_dy, w_all - dx, 1) if dx else r_dy
+                if cost_type == "abs":
+                    c = jnp.abs(left - r)
+                else:
+                    dd = left - r
+                    c = dd * dd
+                rowsum = lax.slice(c, (0, 0), (tile, w_all))
+                for q in range(1, kh):
+                    rowsum = rowsum + lax.slice(c, (q, 0), (q + tile, w_all))
+                m = rowsum
+                for q in range(1, kw):
+                    m = m + pltpu.roll(rowsum, w_all - q, 1)
+                m = lax.slice(m, (0, 0), (tile, tile))
+                d = dy * sx + dx
+                best = best_ref[:]
+                better = m < best
+                best_ref[:] = jnp.where(better, m, best)
+                arg_ref[:] = jnp.where(better, d, arg_ref[:])
+                worst_ref[:] = jnp.maximum(worst_ref[:], m)
+
+    return kernel, lh8, rh8, w_all
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "s_x", "s_y", "kw", "kh",
+                                             "cost_type", "interpret"))
+def pallas_tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
+                        kw: int, kh: int, cost_type: str = "abs",
+                        interpret: bool = False):
+    """Fused per-tile offset search matching ``_tiled_search``'s contract
+    (pyramid_correlation.py): ``base`` carries half-kernel padding in its
+    frame; tile (ty, tx) searches ``match`` from its (pre-clamped) offset.
+    Returns (disp, valid) of size (nty*tile, ntx*tile, ...); disp = offset +
+    in-window argbest."""
+    if cost_type not in ("abs", "sq"):
+        raise ArgumentErr("pallas_tiled_search supports abs/sq costs")
+    base = jnp.asarray(base, jnp.float32)
+    match = jnp.asarray(match, jnp.float32)
+    nty, ntx = offsets.shape[0], offsets.shape[1]
+    kernel, lh8, rh8, w_all = _make_offset_kernel(tile, kw, kh, s_x, s_y,
+                                                  cost_type)
+    # Pad both frames so worst-case slices stay in bounds.
+    need_bh = (nty - 1) * tile + lh8
+    need_bw = (ntx - 1) * tile + w_all
+    bpad = jnp.pad(base, ((0, max(need_bh - base.shape[0], 0)),
+                          (0, max(need_bw - base.shape[1], 0))), mode="edge")
+    max_off_y = int(s_y)  # caller clamps offsets to valid range; pad generously
+    need_mh = (nty - 1) * tile + rh8 + 64
+    need_mw = (ntx - 1) * tile + w_all + 128
+    mpad = jnp.pad(match, ((0, max(need_mh - match.shape[0], 0)),
+                           (0, max(need_mw - match.shape[1], 0))), mode="edge")
+    offs_flat = offsets.reshape(-1, 2).astype(jnp.int32)
+
+    # Index maps under PrefetchScalarGridSpec receive the scalar ref too.
+    out_spec = pl.BlockSpec((tile, tile), lambda i, j, offs: (i, j),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((lh8, w_all), jnp.float32),
+            pltpu.VMEM((rh8, w_all), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    best, worst, arg = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nty * tile, ntx * tile), jnp.float32),
+            jax.ShapeDtypeStruct((nty * tile, ntx * tile), jnp.float32),
+            jax.ShapeDtypeStruct((nty * tile, ntx * tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(offs_flat, bpad, mpad)
+
+    valid = best != worst
+    rel = jnp.stack([arg % s_x, arg // s_x], -1)
+    # add per-tile offsets back (broadcast per tile block)
+    off_map = jnp.repeat(jnp.repeat(offsets.astype(jnp.int32), tile, 0), tile, 1)
+    disp = rel + off_map
+    disp = jnp.where(valid[..., None], disp, 0)
+    return disp, valid
