@@ -56,18 +56,20 @@ def _measure(h, w, iters):
         return dm.disparity, dm.valid
 
     fn = jax.jit(forward)
-    # Warm up with a REAL materialization: on remote-relay platforms (axon)
-    # block_until_ready does not synchronize, so every timed iteration must
-    # end in a host readback of the result.
-    out = fn(left, right)
-    _ = np.asarray(out[0])
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        out = fn(left, right)
-        _ = np.asarray(out[0])     # forces execution + result transfer
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    # Honest timing on remote-relay platforms (axon): block_until_ready does
+    # NOT synchronize there, so execution must be forced by a host readback.
+    # The chip runs queued programs serially, so timing `iters` executions on
+    # DISTINCT inputs (defeats any identical-call caching) with one final
+    # readback amortizes the relay transfer while still bounding all
+    # executions.
+    lefts = [jnp.asarray(left_np + np.float32(i) * 1e-6) for i in range(iters + 1)]
+    out = fn(lefts[0], right)
+    _ = np.asarray(out[0])         # compile + warm with a real barrier
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        out = fn(lefts[i], right)
+    _ = np.asarray(out[0])         # forces the whole queue
+    dt = (time.perf_counter() - t0) / iters
     return (h * w) / dt / 1e6  # Mp/s
 
 

@@ -1,0 +1,94 @@
+"""Thread pool / memory resource / PDS tests (ref ``TestThreadPool.cxx``,
+``TestMemoryImageResource.cxx``, PDS driver tests)."""
+
+import numpy as np
+import pytest
+
+from visionworkbench_tpu.core.threadpool import (
+    CountingSemaphore, FifoWorkQueue, OrderedWorkQueue, ThreadQueue,
+)
+from visionworkbench_tpu.fileio.memory import (
+    decode_image, encode_image, parse_pds_label, read_pds, write_pds,
+)
+
+
+def test_fifo_work_queue_runs_all():
+    results = []
+    import threading
+    lock = threading.Lock()
+    q = FifoWorkQueue(4)
+    for i in range(20):
+        def task(i=i):
+            with lock:
+                results.append(i)
+        q.add_task(task)
+    q.join_all()
+    assert sorted(results) == list(range(20))
+
+
+def test_fifo_work_queue_propagates_errors():
+    q = FifoWorkQueue(2)
+    q.add_task(lambda: (_ for _ in ()).throw(RuntimeError("task boom")))
+    with pytest.raises(RuntimeError, match="task boom"):
+        q.join_all()
+
+
+def test_ordered_work_queue_in_order():
+    consumed = []
+    q = OrderedWorkQueue(lambda idx, val: consumed.append((idx, val)),
+                         num_threads=4)
+    import random
+    order = list(range(16))
+    random.Random(0).shuffle(order)
+    for idx in order:
+        q.add_task(idx, lambda idx=idx: idx * 10)
+    q.join_all()
+    assert consumed == [(i, i * 10) for i in range(16)]
+
+
+def test_thread_queue_and_semaphore():
+    tq = ThreadQueue()
+    tq.push(1)
+    ok, v = tq.try_pop()
+    assert ok and v == 1
+    ok, _ = tq.try_pop()
+    assert not ok
+    sem = CountingSemaphore(2)
+    with sem:
+        with sem:
+            pass
+
+
+def test_memory_encode_decode(rng):
+    arr = (rng.random((16, 20, 3)) * 255).astype(np.uint8)
+    data = encode_image(arr, "png")
+    assert data[:4] == b"\x89PNG"
+    back = decode_image(data)
+    np.testing.assert_array_equal(back, arr)
+    f = decode_image(data, np.float32)
+    assert f.max() <= 1.0
+
+
+def test_pds_roundtrip(tmp_path, rng):
+    arr = (rng.random((30, 40)) * 60000).astype(np.uint16)
+    path = str(tmp_path / "img.IMG")
+    write_pds(path, arr, {"TARGET_NAME": "MARS"})
+    back, label = read_pds(path)
+    np.testing.assert_array_equal(back, arr)
+    assert label["TARGET_NAME"] == "MARS"
+    assert label["SAMPLE_TYPE"] == "MSB_UNSIGNED_INTEGER"
+
+
+def test_pds_float(tmp_path, rng):
+    arr = rng.random((10, 12)).astype(np.float32)
+    path = str(tmp_path / "f.IMG")
+    write_pds(path, arr)
+    back, _ = read_pds(path)
+    np.testing.assert_allclose(back, arr)
+
+
+def test_parse_pds_label():
+    label = parse_pds_label('LINES = 10\r\n^IMAGE = 2\r\nNAME = "X" /* c */')
+    assert label["LINES"] == "10"
+    assert label["IMAGE"] == "2"
+    assert label["NAME"] == "X"

@@ -65,14 +65,19 @@ def _make_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
         ldma.wait()
         rdma.wait()
         left = l_s[:]             # (lh8, w_all)
-        best_ref[:] = jnp.full((tile_h, tile_w), 3.4e38, jnp.float32)
-        worst_ref[:] = jnp.full((tile_h, tile_w), -3.4e38, jnp.float32)
-        arg_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        state = (jnp.full((tile_h, tile_w), 3.4e38, jnp.float32),
+                 jnp.full((tile_h, tile_w), -3.4e38, jnp.float32),
+                 jnp.zeros((tile_h, tile_w), jnp.int32))
 
+        # dy is a small static unroll; dx runs in a fori_loop with a dynamic
+        # lane roll — keeps the compiled program ~sx times smaller than a
+        # full unroll (remote Mosaic compiles are expensive).
         for dy in range(sy):
             r_dy = lax.slice(r_s[:], (dy, 0), (dy + lh8, w_all))
-            for dx in range(sx):
-                r = pltpu.roll(r_dy, w_all - dx, 1) if dx else r_dy
+
+            def body(dx, carry, r_dy=r_dy, dy=dy):
+                best, worst, arg = carry
+                r = pltpu.roll(r_dy, w_all - dx, 1)
                 if cost_type == "abs":
                     c = jnp.abs(left - r)
                 else:
@@ -86,11 +91,15 @@ def _make_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
                     m = m + pltpu.roll(rowsum, w_all - q, 1)
                 m = lax.slice(m, (0, 0), (tile_h, tile_w))
                 d = dy * sx + dx
-                best = best_ref[:]
                 better = m < best
-                best_ref[:] = jnp.where(better, m, best)
-                arg_ref[:] = jnp.where(better, d, arg_ref[:])
-                worst_ref[:] = jnp.maximum(worst_ref[:], m)
+                return (jnp.where(better, m, best),
+                        jnp.maximum(worst, m),
+                        jnp.where(better, d, arg))
+
+            state = lax.fori_loop(0, sx, body, state)
+        best_ref[:] = state[0]
+        worst_ref[:] = state[1]
+        arg_ref[:] = state[2]
 
     return kernel, lh8, w_all, rh8, w_all
 
@@ -185,13 +194,15 @@ def _make_offset_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
         ldma.wait()
         rdma.wait()
         left = l_s[:]
-        best_ref[:] = jnp.full((tile, tile), 3.4e38, jnp.float32)
-        worst_ref[:] = jnp.full((tile, tile), -3.4e38, jnp.float32)
-        arg_ref[:] = jnp.zeros((tile, tile), jnp.int32)
+        state = (jnp.full((tile, tile), 3.4e38, jnp.float32),
+                 jnp.full((tile, tile), -3.4e38, jnp.float32),
+                 jnp.zeros((tile, tile), jnp.int32))
         for dy in range(sy):
             r_dy = lax.slice(r_s[:], (dy, 0), (dy + lh8, w_all))
-            for dx in range(sx):
-                r = pltpu.roll(r_dy, w_all - dx, 1) if dx else r_dy
+
+            def body(dx, carry, r_dy=r_dy, dy=dy):
+                best, worst, arg = carry
+                r = pltpu.roll(r_dy, w_all - dx, 1)
                 if cost_type == "abs":
                     c = jnp.abs(left - r)
                 else:
@@ -205,11 +216,15 @@ def _make_offset_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
                     m = m + pltpu.roll(rowsum, w_all - q, 1)
                 m = lax.slice(m, (0, 0), (tile, tile))
                 d = dy * sx + dx
-                best = best_ref[:]
                 better = m < best
-                best_ref[:] = jnp.where(better, m, best)
-                arg_ref[:] = jnp.where(better, d, arg_ref[:])
-                worst_ref[:] = jnp.maximum(worst_ref[:], m)
+                return (jnp.where(better, m, best),
+                        jnp.maximum(worst, m),
+                        jnp.where(better, d, arg))
+
+            state = lax.fori_loop(0, sx, body, state)
+        best_ref[:] = state[0]
+        worst_ref[:] = state[1]
+        arg_ref[:] = state[2]
 
     return kernel, lh8, rh8, w_all
 

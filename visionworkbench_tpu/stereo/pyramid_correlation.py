@@ -166,6 +166,7 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       census_window: int = 5,
                       subpixel: str = "none",
                       blob_filter_area: int = 0,
+                      engine: str = "auto",
                       keep_levels: bool = False) -> DisparityMap:
     """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
     CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
@@ -185,6 +186,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     if search_region.width <= 0 or search_region.height <= 0:
         raise ArgumentErr("pyramid_correlate: search region must be non-empty")
     half_kw, half_kh = kw // 2, kh // 2
+    # Engine: the fused Pallas kernel keeps the whole disparity sweep in VMEM
+    # (the XLA scan is HBM-bound, one metric-plane round trip per disparity).
+    if engine == "auto":
+        import jax as _jax
+        engine = ("pallas" if _jax.default_backend() not in ("cpu",)
+                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq") else "xla")
+    if engine not in ("xla", "pallas"):
+        raise ArgumentErr(f"unknown engine {engine!r}")
+    use_pallas = engine == "pallas" and cost_type in (ABSOLUTE_DIFFERENCE, "sq")
     s_w, s_h = int(search_region.width), int(search_region.height)
     smin_x, smin_y = int(search_region.min_x), int(search_region.min_y)
 
@@ -302,8 +312,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         mw = lbw + s_w_l - 1
         mbase = crop_extended(right_pyr[level], lx0, ly0, mw, mh, mode="constant")
 
-        disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff, s_y_eff,
-                                    kw, kh, cost_type, census_window)
+        if use_pallas:
+            from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
+            disp, valid = pallas_tiled_search(lbase, mbase, offsets, t,
+                                              s_x_eff, s_y_eff, kw, kh,
+                                              cost_type)
+        else:
+            disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff,
+                                        s_y_eff, kw, kh, cost_type,
+                                        census_window)
         disp = disp[:out_h, :out_w]
         valid = valid[:out_h, :out_w]
         dm = DisparityMap(disp, valid)
@@ -337,9 +354,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             rl_match = crop_extended(left_pyr[level], lx0 - margin_x,
                                      ly0 - margin_y, lm_w, lm_h, mode="constant")
             rl_origin = jnp.array([margin_x, margin_y], jnp.int32)
-            rl_disp, rl_valid = _tiled_search(
-                rl_base, rl_match, neg_off + rl_origin,
-                t, s_x_eff, s_y_eff, kw, kh, cost_type, census_window)
+            if use_pallas:
+                from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
+                rl_disp, rl_valid = pallas_tiled_search(
+                    rl_base, rl_match, neg_off + rl_origin,
+                    t, s_x_eff, s_y_eff, kw, kh, cost_type)
+            else:
+                rl_disp, rl_valid = _tiled_search(
+                    rl_base, rl_match, neg_off + rl_origin,
+                    t, s_x_eff, s_y_eff, kw, kh, cost_type, census_window)
             rl_disp = rl_disp - rl_origin
             rl_dm = DisparityMap(rl_disp[:rl_out_h, :rl_out_w],
                                  rl_valid[:rl_out_h, :rl_out_w])

@@ -42,6 +42,53 @@ MAX_SUBPIXEL_SHIFT = 5.0
 
 
 @functools.partial(jax.jit, static_argnames=("kw", "kh"))
+def _parabola_refine_fast(int_disp, valid, left_f, right_f, kw: int, kh: int):
+    """Single-gather formulation: warp the right image once by the integer
+    disparity field (G(p) = R(p + d_p)), then evaluate the nine neighbor
+    costs as shifted box sums of |L - shift(G, delta)|.
+
+    Approximates the exact evaluation by treating the disparity as locally
+    constant across each correlation window — exact wherever the disparity
+    is flat (post-filtering, almost everywhere), and differing only near
+    discontinuities where the quadratic fit is rejected regardless. Turns 81
+    full-image gathers into 1 gather + 9 fused shift/box-sum passes.
+    """
+    from visionworkbench_tpu.ops.box_filter import box_sum_same
+    h, w = left_f.shape
+    k2w, k2h = kw // 2, kh // 2
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    dxp = int_disp[..., 0].astype(jnp.int32)
+    dyp = int_disp[..., 1].astype(jnp.int32)
+    g = right_f[jnp.clip(ys + dyp, 0, h - 1), jnp.clip(xs + dxp, 0, w - 1)]
+    gpad = jnp.pad(g, ((1, 1), (1, 1)), mode="edge")
+    costs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = jax.lax.dynamic_slice(gpad, (dy + 1, dx + 1), (h, w))
+            costs.append(box_sum_same(jnp.abs(left_f - shifted), kw, kh,
+                                      edge="constant"))
+    patch = jnp.stack(costs, axis=-1)
+    return _fit_parabola(patch, int_disp, valid)
+
+
+def _fit_parabola(patch, int_disp, valid):
+    coeffs = jnp.einsum("ij,hwj->hwi", jnp.asarray(_PINV_A), patch)
+    a, b, c, d, e = (coeffs[..., 0], coeffs[..., 1], coeffs[..., 2],
+                     coeffs[..., 3], coeffs[..., 4])
+    denom = 4 * a * b - c * c
+    off_x = (c * e - 2 * b * d) / denom
+    off_y = (c * d - 2 * a * e) / denom
+    norm = jnp.sqrt(off_x * off_x + off_y * off_y)
+    all_equal = jnp.all(patch == patch[..., :1], axis=-1)
+    use_offset = (~all_equal) & (norm < MAX_SUBPIXEL_SHIFT)
+    fx = int_disp[..., 0].astype(jnp.float32) + jnp.where(use_offset, off_x, 0.0)
+    fy = int_disp[..., 1].astype(jnp.float32) + jnp.where(use_offset, off_y, 0.0)
+    out = jnp.stack([fx, fy], axis=-1)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("kw", "kh"))
 def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
     h, w = left_f.shape
     k2w, k2h = kw // 2, kh // 2
@@ -98,10 +145,17 @@ def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
 
 def parabola_subpixel(disparity: DisparityMap, left, right, kernel_size,
                       prefilter_mode: str = PREFILTER_NONE,
-                      prefilter_width: float = 1.4) -> DisparityMap:
+                      prefilter_width: float = 1.4,
+                      exact: bool = False) -> DisparityMap:
     """Refine an integer disparity map to float (ref ``parabola_subpixel``,
     ParabolaSubpixelView.cc:330-344). ``disparity`` must be pixel-aligned with
-    ``left`` (same H, W); dx/dy are absolute right-image offsets."""
+    ``left`` (same H, W); dx/dy are absolute right-image offsets.
+
+    ``exact=True`` evaluates every window tap at the window-center disparity
+    exactly like the reference (O(k^2) gathers); the default fast path uses
+    the locally-constant-disparity formulation (1 gather), identical away
+    from disparity discontinuities.
+    """
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     if disparity.disparity.shape[:2] != left.shape[:2]:
@@ -109,6 +163,6 @@ def parabola_subpixel(disparity: DisparityMap, left, right, kernel_size,
     kw, kh = int(kernel_size[0]), int(kernel_size[1])
     left_f = prefilter_image(left, prefilter_mode, prefilter_width)
     right_f = prefilter_image(right, prefilter_mode, prefilter_width)
-    out = _parabola_refine(disparity.disparity, disparity.valid,
-                           left_f, right_f, kw, kh)
+    refine = _parabola_refine if exact else _parabola_refine_fast
+    out = refine(disparity.disparity, disparity.valid, left_f, right_f, kw, kh)
     return DisparityMap(out, disparity.valid)
