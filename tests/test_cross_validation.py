@@ -1,0 +1,58 @@
+"""Cross-validation against OpenCV (independent implementation oracle —
+the reference itself cannot be built in this image, so a third-party block
+matcher serves as the external check on disparity semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from visionworkbench_tpu.math.bbox import BBox2i
+from visionworkbench_tpu.stereo import pyramid_correlate
+from visionworkbench_tpu.stereo.correlation import best_of_search_convolution
+
+
+def _stereo_scene(rng, h=128, w=160, max_d=14):
+    """Textured scene with a 2-plane depth profile (x-only disparity)."""
+    ys, xs = np.mgrid[0:h, 0:w + max_d].astype(np.float32)
+    tex = (0.5 + 0.2 * np.sin(xs * 0.9) * np.cos(ys * 0.7)
+           + 0.3 * rng.random(xs.shape)).astype(np.float32)
+    disp_true = np.full((h, w), 4, np.int32)
+    disp_true[:, w // 2:] = 10
+    right = tex[:, :w]
+    # Standard rectified geometry: left(x) = right(x - d), d > 0.
+    left = np.zeros((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            left[y, x] = right[y, max(x - disp_true[y, x], 0)]
+    return left, right, disp_true
+
+
+def test_block_matcher_agrees_with_opencv(rng):
+    left, right, disp_true = _stereo_scene(rng)
+    h, w = left.shape
+    # OpenCV StereoBM: disparity d such that left(x) = right(x - d).
+    bm = cv2.StereoBM_create(numDisparities=16, blockSize=15)
+    bm.setTextureThreshold(5)
+    bm.setUniquenessRatio(5)
+    l8 = (left * 255).astype(np.uint8)
+    r8 = (right * 255).astype(np.uint8)
+    cv_disp = bm.compute(l8, r8).astype(np.float32) / 16.0
+
+    # Ours: left(p) = right(p + d) with d in [-15, 0] -> use negative search.
+    dm = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                           BBox2i(-15, 0, 16, 1), kernel_size=(15, 15),
+                           max_pyramid_levels=0, tile_size=16,
+                           filter_half_kernel=0)
+    ours = -np.asarray(dm.disparity)[..., 0]  # convert to positive-left convention
+    valid_ours = np.asarray(dm.valid)
+
+    core = np.s_[20:-20, 24:-24]
+    both = (cv_disp[core] > 0) & valid_ours[core]
+    assert both.mean() > 0.5
+    agree = np.abs(ours[core] - cv_disp[core])[both] <= 1.0
+    assert agree.mean() > 0.9, f"agreement with OpenCV: {agree.mean():.3f}"
+    # and both agree with ground truth
+    correct_ours = np.abs(ours[core] - disp_true[core])[both] <= 1.0
+    assert correct_ours.mean() > 0.9

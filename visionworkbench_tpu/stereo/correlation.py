@@ -61,14 +61,96 @@ def _check_args(search_volume, kernel_size):
     return sx, sy, kw, kh
 
 
+def _volume_chunk(cost_fn, right_like, sx: int, d0, n: int, h: int, w: int):
+    """(n, H, W) stack of per-disparity cost planes for flat disparities
+    d0..d0+n-1 — one batched gather instead of n small slices."""
+    def slc(dd):
+        return lax.dynamic_slice(right_like, (dd // sx, dd % sx), (h, w))
+    return jax.vmap(cost_fn)(jax.vmap(slc)(d0 + jnp.arange(n)))
+
+
 @functools.partial(jax.jit, static_argnames=("sx", "sy", "kw", "kh", "cost_type",
-                                             "census_window"))
+                                             "census_window", "chunk"))
 def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
-                    cost_type: str, census_window: int = 5):
+                    cost_type: str, census_window: int = 5,
+                    chunk: int = 0):
+    """Disparity sweep. ``chunk > 0`` selects the batched-volume formulation:
+    the sweep runs in chunks of ``chunk`` disparities materialized as one
+    (chunk, H, W) tensor — a handful of large fused ops per chunk instead of
+    per-disparity dispatches (the TPU-efficient shape; memory is bounded by
+    ``chunk * H * W`` floats). ``chunk == 0`` keeps the one-at-a-time scan
+    (lowest memory). Semantics identical: first-best-wins argmin, running
+    worst = max, flat invalidation."""
     h, w = left.shape
     out_h, out_w = h - kh + 1, w - kw + 1
     n_disp = sx * sy
     is_max = cost_type == CROSS_CORRELATION
+
+    if chunk > 0 and cost_type in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
+                                   CROSS_CORRELATION):
+        left_prec = right_prec = None
+        if is_max:
+            left_prec = 1.0 / box_sum_valid(left * left, kw, kh)
+            right_prec = 1.0 / box_sum_valid(right * right, kw, kh)
+
+        def chunk_metrics(d0, n):
+            if cost_type == ABSOLUTE_DIFFERENCE:
+                cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
+            elif cost_type == SQUARED_DIFFERENCE:
+                cost_fn = lambda r: (left - r) * (left - r)    # noqa: E731
+            else:
+                cost_fn = lambda r: left * r                   # noqa: E731
+            vol = _volume_chunk(cost_fn, right, sx, d0, n, h, w)
+            m = lax.reduce_window(vol, 0.0, lax.add, (1, kh, 1), (1, 1, 1),
+                                  "VALID")
+            m = lax.reduce_window(m, 0.0, lax.add, (1, 1, kw), (1, 1, 1),
+                                  "VALID")
+            if is_max:
+                def prec(dd):
+                    return lax.dynamic_slice(right_prec, (dd // sx, dd % sx),
+                                             (out_h, out_w))
+                m = m * jnp.sqrt(left_prec[None] *
+                                 jax.vmap(prec)(d0 + jnp.arange(n)))
+            return m
+
+        n_chunks = -(-n_disp // chunk)
+
+        def combine(carry, d0):
+            best, worst, arg = carry
+            m = chunk_metrics(d0, chunk)
+            # mask out-of-range disparities in the ragged final chunk
+            dids = d0 + jnp.arange(chunk)
+            in_range = (dids < n_disp)[:, None, None]
+            bad = jnp.where(is_max, -jnp.inf, jnp.inf)
+            m_masked = jnp.where(in_range, m, bad)
+            if is_max:
+                cb = jnp.max(m_masked, 0)
+                ca = jnp.argmax(m_masked, 0).astype(jnp.int32)
+                cw = jnp.max(jnp.where(in_range, -m, -bad), 0) * -1
+                better = cb > best
+            else:
+                cb = jnp.min(m_masked, 0)
+                ca = jnp.argmin(m_masked, 0).astype(jnp.int32)
+                cw = jnp.max(jnp.where(in_range, m, -jnp.inf), 0)
+                better = cb < best
+            new_best = jnp.where(better, cb, best)
+            new_arg = jnp.where(better, d0 + ca, arg)
+            new_worst = jnp.where(is_max, jnp.minimum(worst, cw),
+                                  jnp.maximum(worst, cw))
+            return (new_best, new_worst, new_arg), None
+
+        # Derive inits from the input so the carry inherits its varying-axis
+        # type under shard_map (same trick as the scan path below).
+        seed = left[:out_h, :out_w] * 0.0
+        init_best = seed + (-jnp.inf if is_max else jnp.inf)
+        init_worst = seed + (jnp.inf if is_max else -jnp.inf)
+        init = (init_best, init_worst, seed.astype(jnp.int32))
+        starts = jnp.arange(n_chunks) * chunk
+        (best, worst, arg), _ = lax.scan(combine, init, starts)
+        valid = best != worst
+        disp = jnp.stack([arg % sx, arg // sx], axis=-1).astype(jnp.int32)
+        disp = jnp.where(valid[..., None], disp, 0)
+        return disp, valid, best
 
     if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
         # Hamming costs over packed census codes; images are quantized to u8
@@ -140,6 +222,17 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
     return disp, valid, best
 
 
+def _auto_chunk(n_disp: int, pixels: int, cost_type: str,
+                budget_bytes: float = 1.5e9) -> int:
+    """Disparity-chunk size for the batched-volume sweep: as many planes per
+    step as fit the working-set budget (~3 live volumes)."""
+    if cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
+                         CROSS_CORRELATION):
+        return 0
+    per_plane = pixels * 4 * 3
+    return max(1, min(n_disp, int(budget_bytes / max(per_plane, 1))))
+
+
 def best_of_search_convolution(left, right, search_volume, kernel_size,
                                cost_type: str = ABSOLUTE_DIFFERENCE,
                                census_window: int = 5,
@@ -160,8 +253,9 @@ def best_of_search_convolution(left, right, search_volume, kernel_size,
             f"{(h + sy - 1, w + sx - 1)}, got {right.shape}")
     if cost_type not in COST_TYPES:
         raise ArgumentErr(f"Unknown cost type {cost_type!r}")
+    chunk = _auto_chunk(sx * sy, h * w, cost_type)
     disp, valid, best = _best_of_search(left, right, sx, sy, kw, kh, cost_type,
-                                        census_window)
+                                        census_window, chunk)
     if return_cost:
         return DisparityMap(disp, valid), best
     return DisparityMap(disp, valid)

@@ -104,13 +104,16 @@ def _tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
     nty, ntx = offsets.shape[0], offsets.shape[1]
     lh, lw = tile + kh - 1, tile + kw - 1
     rh, rw = lh + s_y - 1, lw + s_x - 1
+    # Batched-volume chunking: under vmap the volume is (ntiles, chunk, th, tw).
+    from visionworkbench_tpu.stereo.correlation import _auto_chunk
+    chunk = _auto_chunk(s_x * s_y, nty * ntx * lh * lw, cost_type)
 
     def per_tile(ty, tx, off):
         ltile = lax.dynamic_slice(base, (ty * tile, tx * tile), (lh, lw))
         rtile = lax.dynamic_slice(
             match, (ty * tile + off[1], tx * tile + off[0]), (rh, rw))
         disp, valid, _ = _best_of_search(ltile, rtile, s_x, s_y, kw, kh,
-                                         cost_type, census_window)
+                                         cost_type, census_window, chunk)
         return disp + off[None, None, :], valid
 
     tys = jnp.repeat(jnp.arange(nty), ntx)
