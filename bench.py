@@ -51,7 +51,7 @@ def _measure(h, w, iters):
 
     def forward(l, r):
         dm = pyramid_correlate(l, r, search, kernel_size=KERNEL,
-                               max_pyramid_levels=LEVELS, tile_size=32,
+                               max_pyramid_levels=LEVELS, tile_size=64,
                                subpixel="parabola")
         return dm.disparity, dm.valid
 

@@ -92,3 +92,32 @@ def test_parse_pds_label():
     assert label["LINES"] == "10"
     assert label["IMAGE"] == "2"
     assert label["NAME"] == "X"
+
+
+def test_sparse_view():
+    from visionworkbench_tpu.image.sparse import SparseView
+    from visionworkbench_tpu.math.bbox import BBox2i
+    sv = SparseView(20, 30, background=-1.0)
+    sv.insert(np.ones((4, 5), np.float32) * 7, 10, 5)
+    assert sv(0, 0) == -1.0
+    assert sv(12, 6) == 7.0
+    out = sv.rasterize(BBox2i(8, 4, 10, 6))
+    assert out.shape == (6, 10)
+    assert out[1, 2] == 7.0 and out[0, 0] == -1.0
+
+
+def test_clean_sentinel1_borders_tool(tmp_path, rng):
+    from visionworkbench_tpu.fileio import read_tiff, write_tiff
+    from visionworkbench_tpu.tools.clean_sentinel1_borders import main
+    img = np.zeros((60, 80), np.float32)
+    img[10:50, 15:65] = 0.4 + 0.1 * rng.random((40, 50)).astype(np.float32)
+    # noisy border speckle
+    img[:5, :] = 0.005
+    path = str(tmp_path / "sar.tif")
+    write_tiff(path, img)
+    out = str(tmp_path / "clean.tif")
+    assert main([path, "-o", out]) == 0
+    cleaned, info = read_tiff(out)
+    assert info.nodata == 0.0
+    assert (cleaned[:5, :] == 0).all()
+    assert cleaned[30, 40] == img[30, 40]

@@ -39,3 +39,19 @@ def fill(shape_or_image, value, dtype=jnp.float32):
     if hasattr(shape_or_image, "shape"):
         return jnp.full(shape_or_image.shape, value, shape_or_image.dtype)
     return jnp.full(shape_or_image, value, dtype)
+
+
+def nonzero_data_bounding_box(image, nodata=0.0):
+    """Tight box around pixels != nodata (ref ``nonzero_data_bounding_box``,
+    AlgorithmFunctions.h). Host-side: concretizes. Returns a BBox2i (empty if
+    no valid data)."""
+    import numpy as np
+    from visionworkbench_tpu.math.bbox import BBox2i
+    arr = np.asarray(image)
+    spatial = arr if arr.ndim == 2 else arr.any(axis=-1)
+    mask = spatial != nodata
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return BBox2i(0, 0, 0, 0)
+    return BBox2i.from_bounds(int(xs.min()), int(ys.min()),
+                              int(xs.max()) + 1, int(ys.max()) + 1)

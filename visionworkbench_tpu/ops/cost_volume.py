@@ -241,6 +241,9 @@ def pallas_tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
     in-window argbest."""
     if cost_type not in ("abs", "sq"):
         raise ArgumentErr("pallas_tiled_search supports abs/sq costs")
+    if tile % 128 != 0:
+        raise ArgumentErr("pallas_tiled_search: tile must be a multiple of "
+                          "128 (TPU output-block alignment)")
     base = jnp.asarray(base, jnp.float32)
     match = jnp.asarray(match, jnp.float32)
     nty, ntx = offsets.shape[0], offsets.shape[1]

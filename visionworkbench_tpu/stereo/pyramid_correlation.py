@@ -164,7 +164,7 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       consistency_threshold: float = -1.0,
                       max_pyramid_levels: int = 5,
                       filter_half_kernel: int = 5,
-                      tile_size: int = 32,
+                      tile_size: int = 64,
                       refine_window: int = 11,
                       census_window: int = 5,
                       subpixel: str = "none",
@@ -189,12 +189,12 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     if search_region.width <= 0 or search_region.height <= 0:
         raise ArgumentErr("pyramid_correlate: search region must be non-empty")
     half_kw, half_kh = kw // 2, kh // 2
-    # Engine: the fused Pallas kernel keeps the whole disparity sweep in VMEM
-    # (the XLA scan is HBM-bound, one metric-plane round trip per disparity).
+    # Engine: 'xla' is the chunked-volume sweep (big fused ops; measured
+    # faster than the current Pallas kernel on v5e through this stack — the
+    # Pallas path stays opt-in and needs tile_size >= 128 for block
+    # alignment).
     if engine == "auto":
-        import jax as _jax
-        engine = ("pallas" if _jax.default_backend() not in ("cpu",)
-                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq") else "xla")
+        engine = "xla"
     if engine not in ("xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
     use_pallas = engine == "pallas" and cost_type in (ABSOLUTE_DIFFERENCE, "sq")

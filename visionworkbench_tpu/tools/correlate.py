@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--match-file", default=None,
                    help="pre-align right image with a RANSAC homography fit "
                         "to this .match file")
-    p.add_argument("--tile-size", type=int, default=32,
+    p.add_argument("--tile-size", type=int, default=64,
                    help="refinement tile size (search offsets granularity)")
     p.add_argument("--use-sgm", action="store_true",
                    help="semi-global matching instead of block matching")
@@ -65,6 +65,22 @@ def main(argv=None) -> int:
         left = left.mean(axis=2)
     if right.ndim == 3:
         right = right.mean(axis=2)
+
+    # nodata -> validity masks (ref correlate.cc mask handling)
+    left_mask = right_mask = None
+    from visionworkbench_tpu.fileio import TiffInfo
+    for path, img, attr in ((args.left, left, "l"), (args.right, right, "r")):
+        if path.lower().endswith((".tif", ".tiff")):
+            try:
+                nd = TiffInfo(path).nodata
+            except Exception:
+                nd = None
+            if nd is not None:
+                mask = img != nd
+                if attr == "l":
+                    left_mask = mask
+                else:
+                    right_mask = mask
 
     if args.match_file:
         from visionworkbench_tpu.interest import read_binary_match_file
@@ -111,6 +127,7 @@ def main(argv=None) -> int:
         dm = pyramid_correlate(
             jnp.asarray(left), jnp.asarray(right), search,
             kernel_size=tuple(args.kernel), cost_type=args.cost_mode,
+            left_mask=left_mask, right_mask=right_mask,
             prefilter_mode=args.prefilter, prefilter_width=args.prefilter_width,
             consistency_threshold=args.consistency_threshold,
             max_pyramid_levels=args.max_pyramid_levels,
