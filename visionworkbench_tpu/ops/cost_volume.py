@@ -241,7 +241,7 @@ def pallas_tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
     in-window argbest."""
     if cost_type not in ("abs", "sq"):
         raise ArgumentErr("pallas_tiled_search supports abs/sq costs")
-    if tile % 128 != 0:
+    if tile % 128 != 0 and not interpret:
         raise ArgumentErr("pallas_tiled_search: tile must be a multiple of "
                           "128 (TPU output-block alignment)")
     base = jnp.asarray(base, jnp.float32)
