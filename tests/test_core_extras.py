@@ -121,3 +121,46 @@ def test_clean_sentinel1_borders_tool(tmp_path, rng):
     assert info.nodata == 0.0
     assert (cleaned[:5, :] == 0).all()
     assert cleaned[30, 40] == img[30, 40]
+
+
+def test_camera_solve_generic():
+    import jax.numpy as jnp
+    from visionworkbench_tpu.camera import PinholeModel
+    from visionworkbench_tpu.camera.solve import solve_point_to_pixel
+    cam = PinholeModel((0, 0, 0), np.eye(3), (400, 400), (100, 80))
+    pts = np.array([[0.2, -0.1, 5.0], [0.5, 0.3, 8.0]], np.float32)
+    expected = np.asarray(cam.point_to_pixel(jnp.asarray(pts)))
+    got = np.asarray(solve_point_to_pixel(cam, jnp.asarray(pts),
+                                          initial_pixel=(100.0, 80.0)))
+    np.testing.assert_allclose(got, expected, atol=0.05)
+
+
+def test_disk_image_manager(tmp_path, rng):
+    from visionworkbench_tpu.fileio import write_tiff
+    from visionworkbench_tpu.fileio.manager import DiskImageManager
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.tif")
+        write_tiff(p, rng.random((8, 8)).astype(np.float32))
+        paths.append(p)
+    mgr = DiskImageManager(max_open=3)
+    for p in paths:
+        v = mgr.get(p)
+        assert v.shape == (8, 8)
+    assert len(mgr) == 3
+    assert mgr.evictions == 2
+    # re-get keeps pool bounded and serves data
+    v = mgr.get(paths[0])
+    assert v.read().shape == (8, 8)
+
+
+def test_chipper():
+    from visionworkbench_tpu.cartography.chipper import chip_bounds, chip_points
+    rng2 = np.random.default_rng(0)
+    pts = rng2.random((1000, 2)) * 100
+    chips = chip_points(pts, capacity=100)
+    assert sum(len(c) for c in chips) == 1000
+    assert all(len(c) <= 100 for c in chips)
+    assert len(set(np.concatenate(chips).tolist())) == 1000
+    bounds = chip_bounds(pts, chips)
+    assert len(bounds) == len(chips)

@@ -86,21 +86,37 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
     n_disp = sx * sy
     is_max = cost_type == CROSS_CORRELATION
 
-    if chunk > 0 and cost_type in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
-                                   CROSS_CORRELATION):
+    if chunk > 0:
         left_prec = right_prec = None
+        lcodes = rcodes = None
         if is_max:
             left_prec = 1.0 / box_sum_valid(left * left, kw, kh)
             right_prec = 1.0 / box_sum_valid(right * right, kw, kh)
+        if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+            lq = jnp.clip(left * 255.0, 0, 255).astype(jnp.int32)
+            rq = jnp.clip(right * 255.0, 0, 255).astype(jnp.int32)
+            xform = (census_transform if cost_type == CENSUS_TRANSFORM
+                     else ternary_census_transform)
+            lcodes = xform(lq, census_window)
+            rcodes = xform(rq, census_window)
 
         def chunk_metrics(d0, n):
-            if cost_type == ABSOLUTE_DIFFERENCE:
-                cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
-            elif cost_type == SQUARED_DIFFERENCE:
-                cost_fn = lambda r: (left - r) * (left - r)    # noqa: E731
+            if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+                nw = rcodes.shape[-1]
+
+                def code_slc(dd):
+                    return lax.dynamic_slice(rcodes, (dd // sx, dd % sx, 0),
+                                             (h, w, nw))
+                rvol = jax.vmap(code_slc)(d0 + jnp.arange(n))
+                vol = hamming_distance(lcodes[None], rvol).astype(jnp.float32)
             else:
-                cost_fn = lambda r: left * r                   # noqa: E731
-            vol = _volume_chunk(cost_fn, right, sx, d0, n, h, w)
+                if cost_type == ABSOLUTE_DIFFERENCE:
+                    cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
+                elif cost_type == SQUARED_DIFFERENCE:
+                    cost_fn = lambda r: (left - r) * (left - r)    # noqa: E731
+                else:
+                    cost_fn = lambda r: left * r                   # noqa: E731
+                vol = _volume_chunk(cost_fn, right, sx, d0, n, h, w)
             m = lax.reduce_window(vol, 0.0, lax.add, (1, kh, 1), (1, 1, 1),
                                   "VALID")
             m = lax.reduce_window(m, 0.0, lax.add, (1, 1, kw), (1, 1, 1),
@@ -225,11 +241,11 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
 def _auto_chunk(n_disp: int, pixels: int, cost_type: str,
                 budget_bytes: float = 1.5e9) -> int:
     """Disparity-chunk size for the batched-volume sweep: as many planes per
-    step as fit the working-set budget (~3 live volumes)."""
-    if cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
-                         CROSS_CORRELATION):
-        return 0
+    step as fit the working-set budget (~3 live volumes; census carries the
+    extra packed-code planes)."""
     per_plane = pixels * 4 * 3
+    if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+        per_plane *= 2
     return max(1, min(n_disp, int(budget_bytes / max(per_plane, 1))))
 
 
