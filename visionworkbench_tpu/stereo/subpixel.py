@@ -104,7 +104,6 @@ def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
         return right_f[yy, xx]
 
     # Replicated-edge padded left for cheap window shifts.
-    pad = max(k2h, k2w) + 0
     lpad = jnp.pad(left_f, ((k2h, k2h), (k2w, k2w)), mode="edge")
 
     def left_shift(wy, wx):
@@ -126,21 +125,7 @@ def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
                     costs[idx] = costs[idx] + jnp.abs(left_shift(wy, wx) - s_v)
 
     patch = jnp.stack(costs, axis=-1)  # (H, W, 9)
-    coeffs = jnp.einsum("ij,hwj->hwi", jnp.asarray(_PINV_A), patch)
-    a, b, c, d, e = (coeffs[..., 0], coeffs[..., 1], coeffs[..., 2],
-                     coeffs[..., 3], coeffs[..., 4])
-    denom = 4 * a * b - c * c
-    off_x = (c * e - 2 * b * d) / denom
-    off_y = (c * d - 2 * a * e) / denom
-    norm = jnp.sqrt(off_x * off_x + off_y * off_y)
-
-    all_equal = jnp.all(patch == patch[..., :1], axis=-1)
-    use_offset = (~all_equal) & (norm < MAX_SUBPIXEL_SHIFT)
-    fx = int_disp[..., 0].astype(jnp.float32) + jnp.where(use_offset, off_x, 0.0)
-    fy = int_disp[..., 1].astype(jnp.float32) + jnp.where(use_offset, off_y, 0.0)
-    out = jnp.stack([fx, fy], axis=-1)
-    out = jnp.where(valid[..., None], out, 0.0)
-    return out
+    return _fit_parabola(patch, int_disp, valid)
 
 
 def parabola_subpixel(disparity: DisparityMap, left, right, kernel_size,
