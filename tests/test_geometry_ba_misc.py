@@ -262,3 +262,73 @@ def test_raised_cosine_window():
     assert w.shape == (16, 16)
     assert w[8, 8] == pytest.approx(1.0, abs=0.05)
     assert w[0, 0] < 0.1
+
+
+def test_particle_swarm():
+    from visionworkbench_tpu.math.optimization import particle_swarm
+    g, v = particle_swarm(lambda p: (p[0] - 1) ** 2 + (p[1] + 2) ** 2,
+                          [-5, -5], [5, 5], iterations=60)
+    np.testing.assert_allclose(g, [1, -2], atol=0.05)
+    assert v < 1e-2
+
+
+def test_rpc_distortion_roundtrip():
+    import jax.numpy as jnp
+    from visionworkbench_tpu.camera.distortion import RPCLensDistortion
+    d = RPCLensDistortion([0.0, 1.02, 0.01], [0.001, 0.0],
+                          [0.0, -0.01, 0.99], [0.0, 0.002])
+    xy = jnp.asarray([[0.2, -0.3], [-0.4, 0.1]])
+    back = d.undistort(d.distort(xy))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xy), atol=1e-4)
+
+
+def test_integral_image_and_haar(rng):
+    import jax.numpy as jnp
+    from visionworkbench_tpu.image.integral import (
+        box_filter_same, haar_x, haar_y, integral_image,
+    )
+    img = jnp.asarray(rng.random((12, 15)), jnp.float32)
+    ii = integral_image(img)
+    assert float(ii[12, 15]) == pytest.approx(float(img.sum()), rel=1e-5)
+    assert float(ii[4, 7]) == pytest.approx(float(img[:4, :7].sum()), rel=1e-5)
+    bf = np.asarray(box_filter_same(jnp.ones((8, 8)), 5))
+    np.testing.assert_allclose(bf, 25.0, atol=1e-4)
+    ramp = jnp.tile(jnp.arange(10, dtype=jnp.float32), (10, 1))
+    hx = np.asarray(haar_x(ramp, 4))
+    np.testing.assert_allclose(hx[3:-3, 3:-3], 16.0, atol=1e-4)
+    hy = np.asarray(haar_y(ramp.T, 4))
+    np.testing.assert_allclose(hy[3:-3, 3:-3], 16.0, atol=1e-4)
+
+
+def test_obalog_detector():
+    import jax.numpy as jnp
+    from visionworkbench_tpu.interest.detector import detect_points_obalog
+    blob = np.zeros((64, 64), np.float32)
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    blob += np.exp(-((xs - 30) ** 2 + (ys - 34) ** 2) / 8.0)
+    d = detect_points_obalog(jnp.asarray(blob), threshold=1e-4).to_numpy()
+    dist = np.sqrt((d["x"] - 30) ** 2 + (d["y"] - 34) ** 2)
+    assert dist.min() < 3.0
+
+
+def test_camera_relation_network():
+    from visionworkbench_tpu.ba import ControlMeasure, ControlNetwork, ControlPoint
+    from visionworkbench_tpu.ba.control_network import CameraRelationNetwork
+    cn = ControlNetwork()
+    for ids in [(0, 1), (0, 1), (1, 2)]:
+        p = ControlPoint()
+        for i in ids:
+            p.add_measure(ControlMeasure(1.0, 2.0, image_id=i))
+        cn.add_point(p)
+    g = CameraRelationNetwork.from_control_network(cn)
+    assert g.pairs()[0] == (0, 1, 2)
+    assert g.neighbors(1) == [(0, 2), (2, 1)]
+
+
+def test_point_list_io(tmp_path):
+    from visionworkbench_tpu.geometry.polygon import read_point_list, write_point_list
+    pts = np.array([[1.5, 2.5, 3.0], [4.0, 5.0, 6.0]])
+    path = str(tmp_path / "pts.txt")
+    write_point_list(path, pts)
+    back = read_point_list(path)
+    np.testing.assert_allclose(back, pts)

@@ -177,3 +177,40 @@ def build_control_network(image_names: Sequence[str], cameras: Sequence,
             p.position = np.asarray(pt[0], np.float64)
             cn.add_point(p)
     return cn
+
+
+class CameraRelationNetwork:
+    """Image-pair relation graph (ref ``CameraRelation.cc``): which image
+    pairs share measurements, with match counts — drives pairwise processing
+    order in bundle adjustment."""
+
+    def __init__(self):
+        self._edges: Dict[Tuple[int, int], int] = {}
+
+    def add_matches(self, image_a: int, image_b: int, count: int = 1) -> None:
+        key = (min(image_a, image_b), max(image_a, image_b))
+        self._edges[key] = self._edges.get(key, 0) + int(count)
+
+    @classmethod
+    def from_control_network(cls, cn: "ControlNetwork") -> "CameraRelationNetwork":
+        g = cls()
+        for p in cn.points:
+            ids = [m.image_id for m in p.measures]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    g.add_matches(ids[i], ids[j])
+        return g
+
+    def pairs(self):
+        """[(image_a, image_b, count)] sorted by descending count."""
+        return sorted(((a, b, c) for (a, b), c in self._edges.items()),
+                      key=lambda t: -t[2])
+
+    def neighbors(self, image_id: int):
+        out = []
+        for (a, b), c in self._edges.items():
+            if a == image_id:
+                out.append((b, c))
+            elif b == image_id:
+                out.append((a, c))
+        return sorted(out)

@@ -180,3 +180,52 @@ DISTORTION_TYPES = {
     "FISHEYE": FisheyeDistortion,
     "Photometrix": PhotometrixDistortion,
 }
+
+
+class RPCLensDistortion:
+    """Rational-polynomial distortion on normalized coordinates
+    (ref ``RPCLensDistortion``, LensDistortion.h): each output coordinate is
+    a ratio of polynomials in (x, y) up to the given degree. Coefficient
+    layout per coordinate: numerator then denominator (constant term of the
+    denominator fixed at 1)."""
+    name = "RPC"
+
+    def __init__(self, num_x, den_x, num_y, den_y):
+        self.num_x = tuple(float(v) for v in num_x)
+        self.den_x = tuple(float(v) for v in den_x)
+        self.num_y = tuple(float(v) for v in num_y)
+        self.den_y = tuple(float(v) for v in den_y)
+        self.params = self.num_x + self.den_x + self.num_y + self.den_y
+
+    @staticmethod
+    def _poly(coeffs, x, y):
+        """Coefficients over monomials 1, x, y, x^2, xy, y^2, ... by degree."""
+        terms = []
+        deg = 0
+        idx = 0
+        while idx < len(coeffs):
+            for i in range(deg + 1):
+                if idx >= len(coeffs):
+                    break
+                terms.append(coeffs[idx] * (x ** (deg - i)) * (y ** i))
+                idx += 1
+            deg += 1
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def distort(self, xy):
+        xy = jnp.asarray(xy, jnp.float32)
+        x, y = xy[..., 0], xy[..., 1]
+        nx = self._poly(self.num_x, x, y)
+        dx = 1.0 + self._poly((0.0,) + tuple(self.den_x), x, y)
+        ny = self._poly(self.num_y, x, y)
+        dy = 1.0 + self._poly((0.0,) + tuple(self.den_y), x, y)
+        return jnp.stack([nx / dx, ny / dy], -1)
+
+    def undistort(self, xy):
+        return _newton_undistort(self.distort, xy)
+
+
+DISTORTION_TYPES["RPC"] = RPCLensDistortion

@@ -142,3 +142,21 @@ def write_poly_file(path: str, poly: Polygon) -> None:
                 f.write(f"{x} {y}\n")
             if i + 1 < len(poly.rings):
                 f.write("NEXT\n")
+
+
+def read_point_list(path: str) -> np.ndarray:
+    """Whitespace-separated point list file -> (N, D) array
+    (ref ``PointListIO.h``)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if line:
+                rows.append([float(v) for v in line.split()])
+    return np.asarray(rows, np.float64)
+
+
+def write_point_list(path: str, points) -> None:
+    with open(path, "w") as f:
+        for row in np.asarray(points, np.float64):
+            f.write(" ".join(repr(float(v)) for v in row) + "\n")

@@ -5,7 +5,8 @@ from visionworkbench_tpu.interest.operators import (
     harris_interest, image_gradients, log_interest,
 )
 from visionworkbench_tpu.interest.detector import (
-    assign_orientations, concatenate_points, detect_points, detect_points_scaled,
+    assign_orientations, concatenate_points, detect_points, detect_points_obalog,
+    detect_points_scaled,
 )
 from visionworkbench_tpu.interest.descriptor import (
     describe, patch_descriptor, sgrad_descriptor,

@@ -184,3 +184,33 @@ def assign_orientations(img, pts: InterestPoints) -> InterestPoints:
 
     orientation = jax.vmap(one)(ys0, xs0)
     return pts._replace(orientation=jnp.where(pts.valid, orientation, 0.0))
+
+
+def detect_points_obalog(img, threshold: float = 1e-4, scales: int = 3,
+                         max_points: int = 1000,
+                         gain: float = 1.0) -> InterestPoints:
+    """Integral-image box-approximated LoG detector with per-scale auto gain
+    (ref ``OBALoG`` / ``IntegralAutoGainDetector``,
+    ``IntegralInterestOperator.h:43-79``, ``IntegralDetector.h:37-103``):
+    center-surround box responses at doubling box sizes, thresholds relaxed
+    by ``gain`` per scale, extrema per scale merged."""
+    from visionworkbench_tpu.image.integral import obalog_interest
+    img = jnp.asarray(img, jnp.float32)
+    per_level = max(max_points // max(scales, 1), 1)
+    sets = []
+    thr = threshold
+    for s in range(scales):
+        resp = jnp.abs(obalog_interest(img, s))
+        margin = 5 * (1 << s)
+        h, w = resp.shape
+        border_ok = jnp.zeros((h, w), bool)
+        if h > 2 * margin and w > 2 * margin:
+            border_ok = border_ok.at[margin:h - margin,
+                                     margin:w - margin].set(True)
+        xs, ys, interest, valid = _peaks_to_points(resp, jnp.float32(thr),
+                                                   per_level, border_ok)
+        sets.append(InterestPoints(
+            xs, ys, jnp.full((per_level,), float(1 << s), jnp.float32),
+            jnp.zeros((per_level,), jnp.float32), interest, valid))
+        thr *= gain
+    return concatenate_points(sets)

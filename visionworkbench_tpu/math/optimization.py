@@ -110,3 +110,32 @@ def newton_raphson(f: Callable, x0, max_iterations: int = 50,
             break
         x -= fx / d
     return x
+
+
+def particle_swarm(f: Callable, lower, upper, num_particles: int = 40,
+                   iterations: int = 100, seed: int = 0,
+                   inertia: float = 0.7, c1: float = 1.5, c2: float = 1.5):
+    """Particle swarm minimization over a box (ref ``ParticleSwarm.h``)."""
+    rng = np.random.default_rng(seed)
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    dim = lower.shape[0]
+    pos = rng.uniform(lower, upper, (num_particles, dim))
+    vel = rng.uniform(-(upper - lower), upper - lower, (num_particles, dim)) * 0.1
+    pbest = pos.copy()
+    pbest_val = np.array([float(f(p)) for p in pos])
+    g = pbest[np.argmin(pbest_val)].copy()
+    gval = pbest_val.min()
+    for _ in range(iterations):
+        r1 = rng.random((num_particles, dim))
+        r2 = rng.random((num_particles, dim))
+        vel = inertia * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (g - pos)
+        pos = np.clip(pos + vel, lower, upper)
+        vals = np.array([float(f(p)) for p in pos])
+        improved = vals < pbest_val
+        pbest[improved] = pos[improved]
+        pbest_val[improved] = vals[improved]
+        if pbest_val.min() < gval:
+            gval = pbest_val.min()
+            g = pbest[np.argmin(pbest_val)].copy()
+    return g, float(gval)

@@ -41,11 +41,16 @@ def main(argv=None) -> int:
         if img.ndim == 3:
             img = img.mean(axis=2)
         im = normalize(jnp.asarray(img))
-        op = "log" if args.interest_operator == "obalog" else args.interest_operator
-        if args.single_scale:
-            pts = detect_points(im, op, args.threshold, max_points=args.max_points)
+        if args.interest_operator == "obalog":
+            from visionworkbench_tpu.interest.detector import detect_points_obalog
+            pts = detect_points_obalog(im, args.threshold or 1e-4,
+                                       max_points=args.max_points)
+        elif args.single_scale:
+            pts = detect_points(im, args.interest_operator, args.threshold,
+                                max_points=args.max_points)
         else:
-            pts = detect_points_scaled(im, op, args.threshold,
+            pts = detect_points_scaled(im, args.interest_operator,
+                                       args.threshold,
                                        max_points=args.max_points)
         pts = assign_orientations(im, pts)
         pts = describe(im, pts, args.descriptor_generator)
