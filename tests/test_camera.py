@@ -155,3 +155,83 @@ def test_bayer_demosaic_flat_field():
     mosaic = jnp.full((16, 16), 0.5, jnp.float32)
     rgb = np.asarray(bayer_demosaic(mosaic))
     np.testing.assert_allclose(rgb, 0.5, atol=1e-5)
+
+
+def _cahvore(linearity, E=(0.0005, -0.0002, 0.0001)):
+    cam = _test_camera()
+    base = pinhole_to_cahv(cam)
+    from visionworkbench_tpu.camera import CAHVOREModel
+    return CAHVOREModel(base.C, base.A, base.H, base.V,
+                        base.A, (0.0, -0.001, 0.0002), E, linearity)
+
+
+@pytest.mark.parametrize("linearity", [1.0, 0.0, 0.37])
+def test_cahvore_roundtrip(linearity):
+    """point -> pixel -> ray must point back at the point for all three
+    pupil types (ref CAHVOREModel.cc:170-303 Newton solves)."""
+    cam = _cahvore(linearity)
+    pix = jnp.asarray([[300.0, 250.0], [340.0, 200.0], [280.0, 300.0]])
+    rays = cam.pixel_to_vector(pix)
+    pts = jnp.asarray(cam.camera_center()) + rays * 40.0
+    pix_back = np.asarray(cam.point_to_pixel(pts))
+    np.testing.assert_allclose(pix_back, np.asarray(pix), atol=5e-2)
+
+
+def test_cahvore_perspective_no_e_matches_cahvor():
+    """With E = 0 and linearity 1, CAHVORE degenerates to CAHVOR
+    (ref CAHVOREModel.cc: chi = tan(theta) recovers the radial model)."""
+    cam = _test_camera()
+    base = pinhole_to_cahv(cam)
+    cahvor = CAHVORModel(base.C, base.A, base.H, base.V,
+                         base.A, (0.0, -0.001, 0.0002))
+    cahvore = _cahvore(1.0, E=(0.0, 0.0, 0.0))
+    pts = jnp.asarray([[12.0, -4.0, 30.0], [8.0, -7.0, 25.0]])
+    np.testing.assert_allclose(np.asarray(cahvore.point_to_pixel(pts)),
+                               np.asarray(cahvor.point_to_pixel(pts)),
+                               atol=5e-2)
+    pix = jnp.asarray([[300.0, 250.0], [340.0, 200.0]])
+    np.testing.assert_allclose(np.asarray(cahvore.pixel_to_vector(pix)),
+                               np.asarray(cahvor.pixel_to_vector(pix)),
+                               atol=1e-4)
+
+
+def test_cahvore_file_roundtrip(tmp_path):
+    from visionworkbench_tpu.camera import (
+        CAHVOREModel, write_cahv_model,
+    )
+    cam = _cahvore(0.37)
+    path = str(tmp_path / "cam.cahvore")
+    write_cahv_model(path, cam)
+    back = read_cahv_model(path)
+    assert isinstance(back, CAHVOREModel)
+    assert back.linearity == pytest.approx(0.37)
+    np.testing.assert_allclose(back.E, cam.E)
+    pix = jnp.asarray([[300.0, 250.0]])
+    np.testing.assert_allclose(np.asarray(back.pixel_to_vector(pix)),
+                               np.asarray(cam.pixel_to_vector(pix)), atol=1e-6)
+
+
+def test_cahvore_type_codes(tmp_path):
+    """T=1/T=2 force linearity regardless of P (ref CAHVOREModel.cc:91-99)."""
+    path = str(tmp_path / "cam.cahvore")
+    body = ("C = 0 0 0\nA = 0 0 1\nH = 500 0 320\nV = 0 500 240\n"
+            "O = 0 0 1\nR = 0 0 0\nE = 0 0 0\n")
+    with open(path, "w") as f:
+        f.write(body + "T = 2\nP = 0.9\n")
+    assert read_cahv_model(path).linearity == 0.0
+    with open(path, "w") as f:
+        f.write(body + "T = 3\nP = 0.25\n")
+    assert read_cahv_model(path).linearity == 0.25
+
+
+def test_linearize_camera_covers_center():
+    """The fitted CAHV shares C, points its axis at the image center, and
+    maps that center ray to the new image center (ref CAHVOREModel.cc:305+)."""
+    from visionworkbench_tpu.camera import linearize_camera
+    cam = _cahvore(0.0)
+    cahv = linearize_camera(cam, (640, 480), (640, 480))
+    np.testing.assert_allclose(cahv.C, cam.C)
+    center_ray = np.asarray(cam.pixel_to_vector(jnp.asarray([319.5, 239.5])))
+    pt = np.asarray(cam.C) + 30.0 * center_ray
+    pix = np.asarray(cahv.point_to_pixel(jnp.asarray(pt)))
+    np.testing.assert_allclose(pix, [319.5, 239.5], atol=0.1)

@@ -185,3 +185,37 @@ def test_dem_point_image_roundtrip():
     v = np.asarray(valid)
     assert v.mean() > 0.9
     np.testing.assert_allclose(np.asarray(out)[v], np.asarray(dem)[v], atol=60.0)
+
+
+def test_pds_georeference_roundtrip(tmp_path):
+    """SIMPLE CYLINDRICAL PDS labels decode to a geographic georef
+    (ref GeoReferenceResourcePDS.cc:32-77: radii in km, res in px/deg)."""
+    import numpy as np
+    from visionworkbench_tpu.cartography import georeference_from_pds_label
+    from visionworkbench_tpu.fileio import read_pds, write_pds
+
+    path = str(tmp_path / "map.img")
+    img = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+    write_pds(path, img, extra_label={
+        "MAP_PROJECTION_TYPE": '"SIMPLE CYLINDRICAL"',
+        "A_AXIS_RADIUS": "3396.19", "B_AXIS_RADIUS": "3376.2",
+        "MAP_RESOLUTION": "128.0",
+        "WESTERNMOST_LONGITUDE": "310.5", "MAXIMUM_LATITUDE": "12.25",
+    })
+    _, label = read_pds(path)
+    g = georeference_from_pds_label(label)
+    assert g is not None
+    assert g.datum.a == pytest.approx(3396190.0)
+    lon, lat = [float(v) for v in np.asarray(
+        jnp.stack(g.pixel_to_lonlat(jnp.asarray(0.0), jnp.asarray(0.0))))]
+    assert lon == pytest.approx(310.5 + 0.5 / 128, abs=1e-9)
+    assert lat == pytest.approx(12.25 - 0.5 / 128, abs=1e-9)
+
+
+def test_pds_georeference_rejects_unsupported():
+    from visionworkbench_tpu.cartography import georeference_from_pds_label
+    assert georeference_from_pds_label({
+        "MAP_PROJECTION_TYPE": '"SINUSOIDAL"', "A_AXIS_RADIUS": "1737.4",
+        "B_AXIS_RADIUS": "1737.4", "MAP_RESOLUTION": "64",
+        "WESTERNMOST_LONGITUDE": "0", "MAXIMUM_LATITUDE": "90"}) is None
+    assert georeference_from_pds_label({"A_AXIS_RADIUS": "1737.4"}) is None

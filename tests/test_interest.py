@@ -121,3 +121,53 @@ def test_ransac_homography(rng):
     assert len(inliers) >= 45
     assert all(i >= 10 for i in inliers[:5]) or len(set(range(10)) & set(inliers)) == 0
     np.testing.assert_allclose(t.matrix / t.matrix[2, 2], h_true, atol=0.05)
+
+
+def test_pca_descriptor_matches_translated_view(rng, tmp_path):
+    """PCA-SIFT path (ref PCASIFTDescriptorGenerator): learn a basis from
+    random patches, describe two translated views, and check the same
+    world point gets near-identical descriptors while the projection has
+    the requested dimensionality."""
+    from visionworkbench_tpu.interest import (
+        PCABasis, describe, fit_pca_basis, pca_descriptor,
+    )
+    from scipy.ndimage import gaussian_filter as ndi_gauss
+
+    h, w = 96, 96
+    base = ndi_gauss(rng.random((h + 20, w + 20)).astype(np.float32),
+                     1.5).astype(np.float32)
+    img1 = jnp.asarray(base[:h, :w])
+    img2 = jnp.asarray(base[3:3 + h, 7:7 + w])
+
+    train = rng.random((64, 17, 17)).astype(np.float32)
+    basis = fit_pca_basis(train, n_components=12)
+    assert basis.basis.shape == (17 * 17, 12)
+
+    path = str(tmp_path / "basis.npz")
+    basis.save(path)
+    basis = PCABasis.load(path)
+
+    p1 = detect_points(img1, "harris", max_points=64, threshold=1e-8)
+    p1 = describe(img1, p1, "pca", pca_basis=basis)
+    assert p1.descriptor.shape[1] == 12
+
+    # Same physical point in both views -> same descriptor.
+    k = int(np.argmax(np.asarray(p1.valid)
+                      & (np.asarray(p1.x) > 20) & (np.asarray(p1.x) < 70)
+                      & (np.asarray(p1.y) > 20) & (np.asarray(p1.y) < 70)))
+    x1, y1 = float(p1.x[k]), float(p1.y[k])
+    shifted = p1._replace(x=p1.x - 7.0, y=p1.y - 3.0)
+    p2 = pca_descriptor(img2, shifted, basis)
+    d1 = np.asarray(p1.descriptor[k])
+    d2 = np.asarray(p2.descriptor[k])
+    cos = float(np.dot(d1, d2) /
+                (np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12))
+    assert cos > 0.99, f"descriptor mismatch at ({x1},{y1}): cos={cos}"
+
+
+def test_pca_describe_requires_basis():
+    from visionworkbench_tpu.interest import describe
+    img = jnp.zeros((32, 32))
+    pts = detect_points(img, "harris", max_points=8, threshold=1e-8)
+    with pytest.raises(ValueError):
+        describe(img, pts, "pca")

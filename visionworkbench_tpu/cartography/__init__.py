@@ -8,8 +8,8 @@ from visionworkbench_tpu.cartography.projection import (
     StereographicProjection, TransverseMercatorProjection, UTMProjection,
 )
 from visionworkbench_tpu.cartography.georeference import (
-    GeoReference, PIXEL_AS_AREA, PIXEL_AS_POINT, georeference_from_tiff_info,
-    make_geographic_georef,
+    GeoReference, PIXEL_AS_AREA, PIXEL_AS_POINT, georeference_from_pds_label,
+    georeference_from_tiff_info, make_geographic_georef,
 )
 from visionworkbench_tpu.cartography.geotransform import GeoTransform, reproject_image
 from visionworkbench_tpu.cartography.hillshade import hillshade

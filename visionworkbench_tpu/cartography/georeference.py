@@ -185,6 +185,40 @@ def georeference_from_tiff_info(info) -> Optional[GeoReference]:
     return g
 
 
+def georeference_from_pds_label(label) -> Optional[GeoReference]:
+    """Decode a GeoReference from a PDS3 label dict (as returned by
+    ``fileio.read_pds``), ref ``GeoReferenceResourcePDS.cc:32-77``: only
+    SIMPLE CYLINDRICAL is supported — westernmost longitude / maximum
+    latitude as the offset, 1/MAP_RESOLUTION degrees per pixel, radii in km.
+    Returns None when required keys are missing or the projection is
+    unsupported."""
+    def q(key):
+        v = label.get(key)
+        if v is None:
+            return None
+        return v.strip().strip('"').strip("'")
+
+    try:
+        a_km, b_km = q("A_AXIS_RADIUS"), q("B_AXIS_RADIUS")
+        res = q("MAP_RESOLUTION")
+        west, north = q("WESTERNMOST_LONGITUDE"), q("MAXIMUM_LATITUDE")
+        if None in (a_km, b_km, res, west, north):
+            return None
+        proj_type = q("MAP_PROJECTION_TYPE")
+        if proj_type is not None and proj_type.upper() != "SIMPLE CYLINDRICAL":
+            return None
+        datum = Datum("PDS Datum", "PDS Spheroid",
+                      semi_major_axis=float(a_km) * 1000.0,
+                      semi_minor_axis=float(b_km) * 1000.0)
+        deg_per_pixel = 1.0 / float(res)
+        t = np.array([[deg_per_pixel, 0, float(west)],
+                      [0, -deg_per_pixel, float(north)],
+                      [0, 0, 1]], np.float64)
+        return GeoReference(datum, Projection(datum), t)
+    except (ValueError, TypeError):
+        return None
+
+
 def make_geographic_georef(west: float, north: float, deg_per_pixel: float,
                            datum_name: str = "WGS84") -> GeoReference:
     """Convenience: north-up geographic georef with square degrees-per-pixel."""

@@ -8,3 +8,6 @@ from visionworkbench_tpu.fileio.tiff import (
 )
 from visionworkbench_tpu.fileio.disk_image import DiskCacheImageView, DiskImageView
 from visionworkbench_tpu.fileio.tiled_writer import block_write_image
+from visionworkbench_tpu.fileio.memory import (
+    decode_image, encode_image, parse_pds_label, read_pds, write_pds,
+)

@@ -9,7 +9,8 @@ from visionworkbench_tpu.interest.detector import (
     detect_points_scaled,
 )
 from visionworkbench_tpu.interest.descriptor import (
-    describe, patch_descriptor, sgrad_descriptor,
+    PCABasis, describe, fit_pca_basis, patch_descriptor, pca_descriptor,
+    sgrad_descriptor,
 )
 from visionworkbench_tpu.interest.matcher import (
     Matches, match_points, matched_coordinates,

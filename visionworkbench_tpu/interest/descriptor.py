@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -100,9 +101,68 @@ def sgrad_descriptor(img, pts: InterestPoints, grid: int = 4, bins: int = 8,
     return pts._replace(descriptor=desc)
 
 
-def describe(img, pts: InterestPoints, kind: str = "sgrad") -> InterestPoints:
+class PCABasis:
+    """Learned PCA projection for patch descriptors
+    (ref ``PCASIFTDescriptorGenerator``, Descriptor.h:96-118: a basis matrix
+    and mean vector loaded from disk).  The reference ships precomputed
+    files; here :func:`fit_pca_basis` learns them from training patches and
+    ``save``/``load`` round-trip through ``.npz``."""
+
+    def __init__(self, basis, avg):
+        self.basis = np.asarray(basis, np.float32)   # (size*size, k)
+        self.avg = np.asarray(avg, np.float32)       # (size*size,)
+        if self.basis.shape[0] != self.avg.shape[0]:
+            raise ValueError("PCA basis/avg dimension mismatch")
+        self.size = int(round(self.basis.shape[0] ** 0.5))
+
+    def save(self, path: str) -> None:
+        np.savez(path, basis=self.basis, avg=self.avg)
+
+    @classmethod
+    def load(cls, path: str) -> "PCABasis":
+        d = np.load(path)
+        return cls(d["basis"], d["avg"])
+
+
+def fit_pca_basis(patches, n_components: int = 20) -> PCABasis:
+    """Learn a :class:`PCABasis` from (N, size, size) training patches:
+    each patch is L2-normalized (matching ``compute_descriptor``'s
+    norm_const), the mean is removed, and the top right-singular vectors
+    become the basis."""
+    flat = np.asarray(patches, np.float32).reshape(len(patches), -1)
+    flat = flat / np.maximum(
+        np.linalg.norm(flat, axis=1, keepdims=True), 1e-12)
+    avg = flat.mean(axis=0)
+    _, _, vt = np.linalg.svd(flat - avg, full_matrices=False)
+    return PCABasis(vt[:n_components].T, avg)
+
+
+def pca_descriptor(img, pts: InterestPoints, basis: PCABasis) -> InterestPoints:
+    """Project L2-normalized support patches onto a PCA basis
+    (ref ``PCASIFTDescriptorGenerator::compute_descriptor``,
+    Descriptor.h:380-410): ``desc = (patch/||patch|| - avg) @ basis`` — a
+    single (K, d) x (d, k) matmul over all keypoints."""
+    img = jnp.asarray(img, jnp.float32)
+    x, y = _support_coords(pts, basis.size)
+
+    def one(xc, yc):
+        return interpolate(img, xc, yc, "bilinear")
+
+    patches = jax.vmap(one)(x, y).reshape(len(pts.x), -1)
+    norm = jnp.sqrt((patches ** 2).sum(axis=1, keepdims=True))
+    centered = patches / jnp.maximum(norm, 1e-12) - jnp.asarray(basis.avg)
+    desc = centered @ jnp.asarray(basis.basis)
+    return pts._replace(descriptor=jnp.where(pts.valid[:, None], desc, 0.0))
+
+
+def describe(img, pts: InterestPoints, kind: str = "sgrad",
+             pca_basis: "PCABasis | None" = None) -> InterestPoints:
     if kind == "patch":
         return patch_descriptor(img, pts)
     if kind in ("sgrad", "sgrad2"):
         return sgrad_descriptor(img, pts)
+    if kind == "pca":
+        if pca_basis is None:
+            raise ValueError("describe(kind='pca') needs a pca_basis")
+        return pca_descriptor(img, pts, pca_basis)
     raise ValueError(f"unknown descriptor {kind!r}")
