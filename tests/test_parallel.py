@@ -88,3 +88,30 @@ def test_sharded_pyramid_correlate_matches_whole(rng):
     # and the sharded result recovers the true disparity
     correct = ((sd[core][..., 0] == -shift[0]) & (sd[core][..., 1] == -shift[1]))[sv[core]]
     assert correct.mean() > 0.9
+
+
+@needs_devices
+def test_sharded_pyramid_multilevel_matches_whole(rng):
+    # Multi-level path: the collar must cover the full coarse-to-fine
+    # receptive field (tile-rounded for refine-grid alignment).
+    h, w = 512, 96
+    shift = (4, 1)
+    sx, sy = 8, 3
+    ys, xs = np.mgrid[0:h + sy + 8, 0:w + sx + 8].astype(np.float32)
+    tex = (np.sin(xs * 0.33) * np.cos(ys * 0.27)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w].copy()
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=3, tile_size=16,
+                  filter_half_kernel=3)
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = sharded_pyramid_correlate(left_j, right_j, sr, mesh, **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[16:-16, 16:-16]
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.99, f"shard/whole agreement {agree.mean()}"

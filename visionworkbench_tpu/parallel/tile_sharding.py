@@ -132,11 +132,22 @@ def sharded_pyramid_correlate(left, right, search_region: BBox2i, mesh: Mesh,
     corr_kwargs = dict(corr_kwargs)
     corr_kwargs["max_pyramid_levels"] = levels
     if collar is None:
-        collar = (1 << levels) * (max(kernel_size) +
-                                  corr_kwargs.get("refine_window", 11))
-    # Round the collar to a tile multiple so every band's refine-tile grid is
-    # aligned with the monolithic grid (exact shard==whole interior parity).
-    collar = -(-collar // tile) * tile
+        # Receptive-field radius of the coarse-to-fine pipeline: each level
+        # contributes its half-kernel, cleanup-filter, and pyramid-build /
+        # upsample supports at 2^level spacing, plus the level-0 refine
+        # window.  (Tighter than the old full-kernel bound; halo rows are
+        # pure overhead, so this directly sets the scaling efficiency.)
+        k_half = max(kernel_size) // 2 + 1
+        fhk = int(corr_kwargs.get("filter_half_kernel", 5))
+        per_level = k_half + fhk + 4
+        collar = (((1 << levels) - 1) * per_level
+                  + int(corr_kwargs.get("refine_window", 11)) + k_half)
+    if levels > 1:
+        # Round the collar to a tile multiple so every band's refine-tile
+        # grid is aligned with the monolithic grid (exact shard==whole
+        # interior parity).  Single-level runs have no tile grid, so any
+        # collar works and rounding would only add halo traffic.
+        collar = -(-collar // tile) * tile
     if (h // n) % tile != 0:
         raise ArgumentErr(f"band height {h // n} must be a multiple of "
                           f"tile_size {tile} for grid-aligned sharding")
