@@ -115,3 +115,69 @@ def test_sharded_pyramid_multilevel_matches_whole(rng):
     both = wv[core] & sv[core]
     agree = (wd[core] == sd[core]).all(axis=-1)[both]
     assert agree.mean() > 0.99, f"shard/whole agreement {agree.mean()}"
+
+
+@needs_devices
+def test_hierarchical_sharded_matches_whole(rng):
+    # Per-level halo exchange design: banded pyramid at every level.
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 512, 96
+    shift = (4, 1)
+    sx, sy = 8, 3
+    ys, xs = np.mgrid[0:h + sy + 8, 0:w + sx + 8].astype(np.float32)
+    tex = (np.sin(xs * 0.33) * np.cos(ys * 0.27)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w].copy()
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=3, tile_size=16,
+                  filter_half_kernel=3)
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = hierarchical_sharded_correlate(left_j, right_j, sr, mesh,
+                                             **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[16:-16, 16:-16]
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.99, f"hier/whole agreement {agree.mean()}"
+    # true disparity recovered
+    correct = ((sd[core][..., 0] == -shift[0])
+               & (sd[core][..., 1] == -shift[1]))[sv[core]]
+    assert correct.mean() > 0.9
+
+
+@needs_devices
+def test_hierarchical_sharded_subpixel_and_offsets(rng):
+    # Positive search minimum + parabola subpixel through the banded path.
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 256, 96
+    shift = (5, 1)
+    ys, xs = np.mgrid[0:h + 4, 0:w + 12].astype(np.float32)
+    tex = (np.sin(xs * 0.31) * np.cos(ys * 0.23)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, 8:8 + w]                       # left(p) = tex[p + 8]
+    right = tex[shift[1]:shift[1] + h, 8 - shift[0]:8 - shift[0] + w].copy()
+    # left(x) = right(x + d) with d = (shift_x, -shift_y) = (5, -1)
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(2, -3, 8, 6)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=2, tile_size=16,
+                  filter_half_kernel=3, subpixel="parabola")
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = hierarchical_sharded_correlate(left_j, right_j, sr, mesh,
+                                             **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[16:-16, 16:-16]
+    both = wv[core] & sv[core]
+    close = (np.abs(wd[core] - sd[core]) < 1e-3).all(axis=-1)[both]
+    assert close.mean() > 0.99, f"subpixel agreement {close.mean()}"
+    err = np.abs(sd[core][..., 0][sv[core]] - 5.0)
+    assert np.median(err) < 0.5

@@ -11,3 +11,4 @@ from visionworkbench_tpu.parallel.tile_sharding import (
     halo_exchange_rows, map_overlap, sharded_pyramid_correlate,
 )
 from visionworkbench_tpu.parallel.disparity_sharding import disparity_sharded_search
+from visionworkbench_tpu.parallel.hierarchical import hierarchical_sharded_correlate

@@ -1,0 +1,244 @@
+"""Fully-sharded hierarchical correlator — row bands at EVERY pyramid level.
+
+``tile_sharding.sharded_pyramid_correlate`` gives each device a collar sized
+to the correlator's whole receptive field (O(2^levels) rows) and recomputes
+the full pyramid inside it — the reference's per-tile prerasterize model
+(``CorrelationView.cc:100-230``) mapped onto devices.  That collar is pure
+overhead and grows exponentially with pyramid depth, capping weak-scaling
+efficiency.
+
+This module is the TPU-native alternative: the pyramid itself is sharded.
+Every level's image lives as row bands across the mesh, and each step that
+needs vertical context — the 5-tap downsample, the half-kernel correlation
+support, the vertical search reach, the speckle filters — exchanges just the
+few rows it needs over ICI (``halo_exchange_rows`` -> ``lax.ppermute``)
+*at that level's resolution*.  Per-device overhead is then
+``sum_l halo_l / band_l`` — a few percent — instead of ``2*2^L*R / band``,
+and no work is replicated.
+
+Level/tile coordinate frames match ``stereo.pyramid_correlation`` (the
+monolithic engine) so interior results agree; global image edges use
+replicated edge rows exactly like the monolithic ``crop_extended`` padding.
+
+Scope: cost correlation + per-level cleanup + optional parabola subpixel.
+Masks, L<->R consistency, and blob filtering still route through the collar
+engine (``sharded_pyramid_correlate``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from visionworkbench_tpu.core.exceptions import ArgumentErr
+from visionworkbench_tpu.math.bbox import BBox2i
+from visionworkbench_tpu.image.edge import crop_extended
+from visionworkbench_tpu.parallel.mesh import TILE_AXIS
+from visionworkbench_tpu.parallel.tile_sharding import halo_exchange_rows
+from visionworkbench_tpu.stereo.correlation import (
+    ABSOLUTE_DIFFERENCE, DisparityMap,
+)
+from visionworkbench_tpu.stereo.disparity import (
+    disparity_cleanup_using_thresh, disparity_upsample, rm_outliers_using_thresh,
+)
+from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
+from visionworkbench_tpu.stereo.pyramid_correlation import (
+    _blur_downsample, _cdiv, _tile_offsets, _tiled_search, max_pyramid_levels_for,
+)
+
+
+def _halo_cleanup(dm: DisparityMap, fhk: int, on_last: bool) -> DisparityMap:
+    """Per-level speckle filter with ``fhk`` rows of exchanged context so
+    band-interior pixels see the same window as the monolithic filter."""
+    d = halo_exchange_rows(dm.disparity, fhk, fhk)
+    v = halo_exchange_rows(dm.valid, fhk, fhk)
+    pdm = DisparityMap(d, v)
+    if on_last:
+        pdm = rm_outliers_using_thresh(pdm, fhk, fhk, 3.0, 0.5)
+    else:
+        pdm = disparity_cleanup_using_thresh(pdm, fhk, fhk, 3.0, 0.5)
+    return DisparityMap(pdm.disparity[fhk:d.shape[0] - fhk],
+                        pdm.valid[fhk:d.shape[0] - fhk])
+
+
+def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
+                                   mesh: Mesh,
+                                   kernel_size: Tuple[int, int] = (21, 21),
+                                   cost_type: str = ABSOLUTE_DIFFERENCE,
+                                   prefilter_mode: str = PREFILTER_NONE,
+                                   prefilter_width: float = 1.4,
+                                   max_pyramid_levels: int = 5,
+                                   filter_half_kernel: int = 5,
+                                   tile_size: int = 64,
+                                   refine_window: int = 11,
+                                   census_window: int = 5,
+                                   subpixel: str = "none") -> DisparityMap:
+    """Distributed coarse-to-fine correlator with per-level halo exchange.
+
+    Same output contract as ``pyramid_correlate`` (absolute disparities,
+    ``search_region.min`` folded in); rows sharded over ``mesh``'s
+    ``TILE_AXIS``.  Requires ``h % (n * 2^levels) == 0``.
+    """
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h, w = left.shape
+    if right.shape != (h, w):
+        raise ArgumentErr("hierarchical_sharded_correlate: left/right must "
+                          "share a shape (fold extra right columns into "
+                          "search_region)")
+    n = mesh.devices.size
+    if h % n != 0:
+        raise ArgumentErr(f"rows {h} must divide over {n} devices")
+    hb = h // n
+
+    kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    if kw % 2 != 1 or kh % 2 != 1:
+        raise ArgumentErr("kernel dimensions must be odd")
+    half_kw, half_kh = kw // 2, kh // 2
+    s_w, s_h = int(search_region.width), int(search_region.height)
+    smin_x, smin_y = int(search_region.min_x), int(search_region.min_y)
+    if s_w <= 0 or s_h <= 0:
+        raise ArgumentErr("search region must be non-empty")
+
+    levels = max_pyramid_levels_for(w, h, (kw, kh), search_region,
+                                    max_pyramid_levels)
+    up = 1 << levels
+    if hb % up != 0:
+        raise ArgumentErr(f"band height {hb} must divide by 2^levels={up}")
+    off_x = half_kw * up
+    t = int(tile_size)
+
+    # Stored-frame widths (col 0 = global col -off_x), as in the monolithic
+    # engine's left_base / right_base.
+    base_w = w + 2 * off_x
+    base_w += (-base_w) % up + up
+    rbase_w = base_w + s_w
+    rbase_w += (-rbase_w) % up
+
+    pf_halo = 0
+    if prefilter_mode != PREFILTER_NONE:
+        pf_halo = int(7 * prefilter_width) // 2 + 2
+
+    def shard_fn(lblock, rblock):
+        # Full-res bands in the stored frames.  The right band is the
+        # search-origin-shifted frame: its row r = right row r + smin_y,
+        # col c = right col c + smin_x - off_x.
+        lband = crop_extended(lblock, -off_x, 0, base_w, hb, mode="constant")
+        top = max(-smin_y, 0)
+        bot = max(smin_y, 0)
+        rpad = halo_exchange_rows(rblock, top, bot)
+        rrows = lax.dynamic_slice_in_dim(rpad, top + smin_y, hb, axis=0)
+        rband = crop_extended(rrows, smin_x - off_x, 0, rbase_w, hb,
+                              mode="constant")
+
+        def level_filter(img):
+            if prefilter_mode == PREFILTER_NONE:
+                return img
+            p = halo_exchange_rows(img, pf_halo, pf_halo)
+            p = prefilter_image(p, prefilter_mode, prefilter_width)
+            return p[pf_halo:p.shape[0] - pf_halo]
+
+        # Banded pyramids: exchange the 5-tap filter's 2-row support, smooth,
+        # and keep this band's aligned half (global subsample grids match the
+        # monolithic build because band starts divide by 2^level).
+        lpyr, rpyr = [lband], [rband]
+        for _ in range(levels):
+            def down(x):
+                p = halo_exchange_rows(x, 2, 2)
+                d = _blur_downsample(p)
+                return d[1:1 + x.shape[0] // 2]
+            lpyr.append(down(lpyr[-1]))
+            rpyr.append(down(rpyr[-1]))
+        lpyr = [level_filter(im) for im in lpyr]
+        rpyr = [level_filter(im) for im in rpyr]
+
+        dm: Optional[DisparityMap] = None
+        for level in range(levels, -1, -1):
+            scaling = 1 << level
+            on_last = level == 0
+            s_w_l = max(s_w // scaling, 1)
+            s_h_l = max(s_h // scaling, 1)
+            band_l = hb // scaling
+            out_w = _cdiv(w, scaling)
+            region_off_x = off_x // scaling
+
+            nty, ntx = _cdiv(band_l, t), _cdiv(out_w, t)
+            row_pad = nty * t - band_l
+
+            if level == levels:
+                offsets = jnp.zeros((nty, ntx, 2), jnp.int32)
+                s_x_eff, s_y_eff = s_w_l, s_h_l
+            else:
+                prior = disparity_upsample(dm)
+                pr_d = prior.disparity[:band_l, :out_w]
+                pr_v = prior.valid[:band_l, :out_w]
+                pr_d = jnp.pad(pr_d, ((0, row_pad), (0, ntx * t - out_w),
+                                      (0, 0)))
+                pr_v = jnp.pad(pr_v, ((0, row_pad), (0, ntx * t - out_w)))
+                s_x_eff = min(int(refine_window), s_w_l)
+                s_y_eff = min(int(refine_window), s_h_l)
+                offsets = _tile_offsets(pr_d, pr_v, t, 2,
+                                        s_w_l - s_x_eff, s_h_l - s_y_eff)
+
+            # Vertical context over ICI; horizontal from the stored pad.
+            lbase = halo_exchange_rows(lpyr[level], half_kh,
+                                       half_kh + row_pad)
+            mbase = halo_exchange_rows(rpyr[level], half_kh,
+                                       half_kh + row_pad + s_h_l - 1)
+            lx0 = region_off_x - half_kw
+            lbw = ntx * t + kw - 1
+            lbase = crop_extended(lbase, lx0, 0, lbw, lbase.shape[0],
+                                  mode="constant")
+            mbase = crop_extended(mbase, lx0, 0, lbw + s_w_l - 1,
+                                  mbase.shape[0], mode="constant")
+
+            disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff,
+                                        s_y_eff, kw, kh, cost_type,
+                                        census_window)
+            dm = DisparityMap(disp[:band_l, :out_w], valid[:band_l, :out_w])
+
+            if filter_half_kernel > 0:
+                dm = _halo_cleanup(dm, int(filter_half_kernel), on_last)
+
+        final = DisparityMap(
+            jnp.where(dm.valid[..., None],
+                      dm.disparity + jnp.array([smin_x, smin_y],
+                                               dm.disparity.dtype), 0),
+            dm.valid)
+
+        if subpixel == "parabola":
+            from visionworkbench_tpu.stereo.subpixel import (
+                MAX_SUBPIXEL_SHIFT, parabola_subpixel,
+            )
+            # The parabola fit samples right at dy in [smin_y - 1,
+            # smin_y + s_h + MAX_SUBPIXEL_SHIFT); hand it a row-extended right
+            # band and temporarily shift dy into that frame.
+            m_top = max(-smin_y, 0) + half_kh + int(MAX_SUBPIXEL_SHIFT) + 1
+            m_bot = max(smin_y + s_h, 0) + half_kh + int(MAX_SUBPIXEL_SHIFT) + 1
+            # Extending BOTH images by the same rows keeps the frames aligned,
+            # so the disparity only needs row padding, not a dy shift.
+            rext = halo_exchange_rows(rblock, m_top, m_bot)
+            lext = halo_exchange_rows(lblock, m_top, m_bot)
+            sd = DisparityMap(
+                jnp.pad(final.disparity, ((m_top, m_bot), (0, 0), (0, 0))),
+                jnp.pad(final.valid, ((m_top, m_bot), (0, 0))))
+            ref = parabola_subpixel(sd, lext, rext, (kw, kh),
+                                    prefilter_mode, prefilter_width)
+            final = DisparityMap(
+                jnp.where(ref.valid[m_top:m_top + hb, :, None],
+                          ref.disparity[m_top:m_top + hb], 0),
+                ref.valid[m_top:m_top + hb])
+        elif subpixel != "none":
+            raise ArgumentErr(f"unknown subpixel mode {subpixel!r}")
+        return final.disparity, final.valid
+
+    spec = P(TILE_AXIS)
+    disp, valid = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
+                            out_specs=(spec, spec), check_vma=False)(left, right)
+    return DisparityMap(disp, valid)
