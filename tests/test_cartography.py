@@ -219,3 +219,31 @@ def test_pds_georeference_rejects_unsupported():
         "B_AXIS_RADIUS": "1737.4", "MAP_RESOLUTION": "64",
         "WESTERNMOST_LONGITUDE": "0", "MAXIMUM_LATITUDE": "90"}) is None
     assert georeference_from_pds_label({"A_AXIS_RADIUS": "1737.4"}) is None
+
+
+def test_fit_pinhole_recovers_perturbed_camera():
+    """fit_camera_to_datum (ref CameraDatumFit.cc): starting from a
+    perturbed pose, the LM solve recovers projections of known ground
+    points to sub-pixel accuracy, and the center prior keeps the camera
+    near its seed."""
+    import numpy as np
+    from visionworkbench_tpu.camera import PinholeModel
+    from visionworkbench_tpu.cartography import fit_pinhole
+    from visionworkbench_tpu.math.quaternion import euler_to_rotation_matrix
+
+    r = np.asarray(euler_to_rotation_matrix(0.05, -0.1, 0.02))
+    truth = PinholeModel((100.0, -50.0, 1000.0), r, (800.0, 800.0),
+                         (512.0, 384.0))
+    rng = np.random.default_rng(1)
+    xyz = np.stack([rng.uniform(-300, 300, 12), rng.uniform(-300, 300, 12),
+                    rng.uniform(-50, 50, 12)], axis=1)
+    pixels = np.asarray(truth.point_to_pixel(jnp.asarray(xyz)))
+
+    seed = PinholeModel((130.0, -20.0, 960.0),
+                        np.asarray(euler_to_rotation_matrix(0.1, -0.05, 0.0)),
+                        (800.0, 800.0), (512.0, 384.0))
+    fit = fit_pinhole(xyz, pixels, seed)
+    reproj = np.asarray(fit.point_to_pixel(jnp.asarray(xyz)))
+    err = np.abs(reproj - pixels).max()
+    assert err < 0.5, f"reprojection error {err}"
+    assert np.linalg.norm(fit.C - truth.C) < 25.0

@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (default: current)")
+    p.add_argument("--engine", choices=["hier", "collar"], default="hier",
+                   help="hier = banded pyramid w/ per-level halo exchange; "
+                        "collar = per-band receptive-field recompute")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -36,7 +39,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
     from visionworkbench_tpu.math.bbox import BBox2i
-    from visionworkbench_tpu.parallel import make_tile_mesh, sharded_pyramid_correlate
+    from visionworkbench_tpu.parallel import (
+        hierarchical_sharded_correlate, make_tile_mesh,
+        sharded_pyramid_correlate,
+    )
 
     n_avail = len(jax.devices())
     rng = np.random.default_rng(3)
@@ -52,8 +58,9 @@ def main(argv=None) -> int:
         left = jnp.asarray(rng.random((h, w)), jnp.float32)
         right = jnp.asarray(rng.random((h, w)), jnp.float32)
         mesh = make_tile_mesh(n)
-        fn = jax.jit(lambda l, r: sharded_pyramid_correlate(
-            l, r, search, mesh, **kwargs))
+        corr = (hierarchical_sharded_correlate if args.engine == "hier"
+                else sharded_pyramid_correlate)
+        fn = jax.jit(lambda l, r: corr(l, r, search, mesh, **kwargs))
         iters = 3
         lefts = [jnp.asarray(rng.random((h, w)), jnp.float32)
                  for _ in range(iters)]

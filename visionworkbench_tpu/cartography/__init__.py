@@ -31,3 +31,6 @@ from visionworkbench_tpu.cartography.bathymetry import (
 from visionworkbench_tpu.cartography.shapefile import (
     read_shapefile, write_shapefile,
 )
+from visionworkbench_tpu.cartography.camera_fit import (
+    fit_camera_to_datum, fit_optical_bar, fit_pinhole,
+)
