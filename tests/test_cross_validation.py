@@ -56,3 +56,36 @@ def test_block_matcher_agrees_with_opencv(rng):
     # and both agree with ground truth
     correct_ours = np.abs(ours[core] - disp_true[core])[both] <= 1.0
     assert correct_ours.mean() > 0.9
+
+
+def test_sgm_agrees_with_opencv_sgbm(rng):
+    """calc_disparity_sgm vs cv2.StereoSGBM on the two-plane scene: both
+    regularized matchers should recover the planes and agree."""
+    from visionworkbench_tpu.stereo import calc_disparity_sgm
+
+    left, right, disp_true = _stereo_scene(rng)
+    h, w = left.shape
+
+    sgbm = cv2.StereoSGBM_create(minDisparity=0, numDisparities=16,
+                                 blockSize=5, P1=8 * 25, P2=32 * 25,
+                                 mode=cv2.STEREO_SGBM_MODE_SGBM)
+    l8 = (left * 255).astype(np.uint8)
+    r8 = (right * 255).astype(np.uint8)
+    cv_disp = sgbm.compute(l8, r8).astype(np.float32) / 16.0
+
+    # Ours searches d' in [0, 16) with left(p) = right_ext(p + d');
+    # right_ext shifts right 15 columns so d = d' - 15 covers [-15, 0].
+    right_ext = np.pad(right, ((0, 0), (15, 0)), mode="edge")
+    dm = calc_disparity_sgm(jnp.asarray(left), jnp.asarray(right_ext),
+                            search_volume=(16, 1), kernel_size=5,
+                            cost_type="census", subpixel="none")
+    ours = -(np.asarray(dm.disparity)[..., 0] - 15.0)
+    valid_ours = np.asarray(dm.valid)
+
+    core = np.s_[16:-16, 24:-24]
+    both = (cv_disp[core] > 0) & valid_ours[core]
+    assert both.mean() > 0.5
+    agree = np.abs(ours[core] - cv_disp[core])[both] <= 1.0
+    assert agree.mean() > 0.85, f"agreement with SGBM: {agree.mean():.3f}"
+    correct = np.abs(ours[core] - disp_true[core])[both] <= 1.0
+    assert correct.mean() > 0.9, f"vs truth: {correct.mean():.3f}"
