@@ -247,3 +247,33 @@ def test_fit_pinhole_recovers_perturbed_camera():
     err = np.abs(reproj - pixels).max()
     assert err < 0.5, f"reprojection error {err}"
     assert np.linalg.norm(fit.C - truth.C) < 25.0
+
+
+@pytest.mark.parametrize("make", [
+    lambda d: __import__("visionworkbench_tpu.cartography", fromlist=["x"]
+                         ).EquirectangularProjection(d, 10.0, 30.0, 20.0),
+    lambda d: __import__("visionworkbench_tpu.cartography", fromlist=["x"]
+                         ).GnomonicProjection(d, 45.0, -100.0),
+])
+def test_new_projection_roundtrips(make):
+    from visionworkbench_tpu.cartography import well_known_datum
+    proj = make(well_known_datum("WGS84"))
+    lons = jnp.asarray([-104.0, -98.5, -101.0])
+    lats = jnp.asarray([40.0, 43.0, 47.5])
+    x, y = proj.forward(lons, lats)
+    lon2, lat2 = proj.reverse(x, y)
+    np.testing.assert_allclose(np.asarray(lon2), np.asarray(lons), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(lat2), np.asarray(lats), atol=2e-2)
+
+
+def test_gnomonic_great_circle_is_straight():
+    """Gnomonic property: points on a great circle through the center
+    project to a straight line (Snyder ch. 22)."""
+    from visionworkbench_tpu.cartography import (
+        GnomonicProjection, well_known_datum,
+    )
+    proj = GnomonicProjection(well_known_datum("WGS84"), 0.0, 0.0)
+    # equator = great circle through (0, 0)
+    lons = jnp.asarray([-30.0, -10.0, 15.0, 40.0])
+    x, y = proj.forward(lons, jnp.zeros(4))
+    assert np.abs(np.asarray(y)).max() < 1.0  # meters

@@ -3,6 +3,7 @@ replaced by in-tree jnp projections + the GeoTIFF codec)."""
 
 from visionworkbench_tpu.cartography.datum import Datum, well_known_datum
 from visionworkbench_tpu.cartography.projection import (
+    EquirectangularProjection, GnomonicProjection,
     LambertAzimuthalProjection, LambertConformalProjection, MercatorProjection,
     OrthographicProjection, PROJECTIONS, Projection, SinusoidalProjection,
     StereographicProjection, TransverseMercatorProjection, UTMProjection,

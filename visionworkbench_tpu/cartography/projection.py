@@ -401,6 +401,103 @@ class LambertConformalProjection(Projection):
                 "false_easting": self.x0, "false_northing": self.y0}
 
 
+
+class EquirectangularProjection(Projection):
+    """Spherical equirectangular / plate carree with a latitude of true
+    scale (ref ``set_equirectangular``, Snyder eq. 12-1..12-6)."""
+    name = "equirectangular"
+    proj4_name = "eqc"
+
+    def __init__(self, datum: Datum, center_latitude=0.0, center_longitude=0.0,
+                 latitude_of_true_scale=0.0, false_easting=0.0,
+                 false_northing=0.0):
+        super().__init__(datum)
+        self.lat0 = float(center_latitude)
+        self.lon0 = float(center_longitude)
+        self.lat_ts = float(latitude_of_true_scale)
+        self.x0 = float(false_easting)
+        self.y0 = float(false_northing)
+
+    def forward(self, lon, lat):
+        r = self.datum.a
+        import math as _m
+        cos_ts = _m.cos(_m.radians(self.lat_ts))
+        lon = jnp.asarray(lon, jnp.float32)
+        lat = jnp.asarray(lat, jnp.float32)
+        x = r * _D2R * (lon - self.lon0) * cos_ts + self.x0
+        y = r * _D2R * (lat - self.lat0) + self.y0
+        return x, y
+
+    def reverse(self, x, y):
+        r = self.datum.a
+        import math as _m
+        cos_ts = _m.cos(_m.radians(self.lat_ts))
+        lon = (jnp.asarray(x, jnp.float32) - self.x0) / (r * _D2R * cos_ts) \
+            + self.lon0
+        lat = (jnp.asarray(y, jnp.float32) - self.y0) / (r * _D2R) + self.lat0
+        return lon, lat
+
+    def params(self):
+        return {"center_latitude": self.lat0, "center_longitude": self.lon0,
+                "latitude_of_true_scale": self.lat_ts,
+                "false_easting": self.x0, "false_northing": self.y0}
+
+
+class GnomonicProjection(Projection):
+    """Spherical gnomonic: project from the sphere's center onto a tangent
+    plane (ref ``set_gnomonic``, Snyder eq. 22-3..22-15); great circles map
+    to straight lines."""
+    name = "gnomonic"
+    proj4_name = "gnom"
+
+    def __init__(self, datum: Datum, center_latitude=0.0, center_longitude=0.0,
+                 scale=1.0, false_easting=0.0, false_northing=0.0):
+        super().__init__(datum)
+        self.lat0 = float(center_latitude)
+        self.lon0 = float(center_longitude)
+        self.k0 = float(scale)
+        self.x0 = float(false_easting)
+        self.y0 = float(false_northing)
+
+    def forward(self, lon, lat):
+        r = self.datum.a * self.k0
+        lam = jnp.deg2rad(jnp.asarray(lon, jnp.float32) - self.lon0)
+        phi = jnp.deg2rad(jnp.asarray(lat, jnp.float32))
+        phi0 = jnp.float32(np.deg2rad(self.lat0))
+        cos_c = (jnp.sin(phi0) * jnp.sin(phi)
+                 + jnp.cos(phi0) * jnp.cos(phi) * jnp.cos(lam))
+        k = 1.0 / jnp.maximum(cos_c, 1e-6)
+        x = r * k * jnp.cos(phi) * jnp.sin(lam) + self.x0
+        y = r * k * (jnp.cos(phi0) * jnp.sin(phi)
+                     - jnp.sin(phi0) * jnp.cos(phi) * jnp.cos(lam)) + self.y0
+        return x, y
+
+    def reverse(self, x, y):
+        r = self.datum.a * self.k0
+        xr = (jnp.asarray(x, jnp.float32) - self.x0) / r
+        yr = (jnp.asarray(y, jnp.float32) - self.y0) / r
+        rho = jnp.sqrt(xr * xr + yr * yr)
+        c = jnp.arctan(rho)
+        phi0 = jnp.float32(np.deg2rad(self.lat0))
+        sin_c, cos_c = jnp.sin(c), jnp.cos(c)
+        safe_rho = jnp.maximum(rho, 1e-12)
+        phi = jnp.arcsin(cos_c * jnp.sin(phi0)
+                         + yr * sin_c * jnp.cos(phi0) / safe_rho)
+        lam = jnp.arctan2(xr * sin_c,
+                          safe_rho * jnp.cos(phi0) * cos_c
+                          - yr * jnp.sin(phi0) * sin_c)
+        lon = jnp.rad2deg(lam) + self.lon0
+        lat = jnp.rad2deg(phi)
+        lat = jnp.where(rho < 1e-12, self.lat0, lat)
+        lon = jnp.where(rho < 1e-12, self.lon0, lon)
+        return lon, lat
+
+    def params(self):
+        return {"center_latitude": self.lat0, "center_longitude": self.lon0,
+                "scale": self.k0, "false_easting": self.x0,
+                "false_northing": self.y0}
+
+
 PROJECTIONS = {
     "geographic": Projection,
     "longlat": Projection,
@@ -413,4 +510,6 @@ PROJECTIONS = {
     "orthographic": OrthographicProjection,
     "lambert azimuthal": LambertAzimuthalProjection,
     "lambert conformal conic": LambertConformalProjection,
+    "equirectangular": EquirectangularProjection,
+    "gnomonic": GnomonicProjection,
 }
