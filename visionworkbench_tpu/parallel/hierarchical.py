@@ -205,6 +205,26 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
 
             if filter_half_kernel > 0:
                 dm = _halo_cleanup(dm, int(filter_half_kernel), on_last)
+                # Right-extent mask (the monolithic engine's disparity_mask
+                # against its zero-extended rmask pyramid).  With no user
+                # masks the level-l mask is the 2-of-4 downsampled rectangle
+                # of the true right image in the shifted frame, whose edges
+                # iterate to floor/ceil of /2^l — evaluated analytically in
+                # global coordinates so bands need no mask exchange.
+                r_lo = max(-smin_y, 0) // scaling
+                r_hi = -(-(h - smin_y) // scaling)
+                c_lo = max(-smin_x, 0) // scaling
+                c_hi = -(-(w - smin_x) // scaling)
+                g0 = lax.axis_index(TILE_AXIS) * band_l
+                rows_g = (g0 + jnp.arange(band_l))[:, None] \
+                    + dm.disparity[..., 1].astype(jnp.int32)
+                cols_g = jnp.arange(out_w)[None, :] \
+                    + dm.disparity[..., 0].astype(jnp.int32)
+                ok = ((rows_g >= r_lo) & (rows_g < r_hi)
+                      & (cols_g >= c_lo) & (cols_g < c_hi))
+                valid2 = dm.valid & ok
+                dm = DisparityMap(
+                    jnp.where(valid2[..., None], dm.disparity, 0), valid2)
 
         final = DisparityMap(
             jnp.where(dm.valid[..., None],
@@ -225,9 +245,12 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
             # so the disparity only needs row padding, not a dy shift.
             rext = halo_exchange_rows(rblock, m_top, m_bot)
             lext = halo_exchange_rows(lblock, m_top, m_bot)
+            # The parabola's shifted box sums read neighbors' disparities, so
+            # the halo rows must carry the REAL neighbor solution (zero
+            # padding would poison band-edge windows).
             sd = DisparityMap(
-                jnp.pad(final.disparity, ((m_top, m_bot), (0, 0), (0, 0))),
-                jnp.pad(final.valid, ((m_top, m_bot), (0, 0))))
+                halo_exchange_rows(final.disparity, m_top, m_bot),
+                halo_exchange_rows(final.valid, m_top, m_bot))
             ref = parabola_subpixel(sd, lext, rext, (kw, kh),
                                     prefilter_mode, prefilter_width)
             final = DisparityMap(
