@@ -11,6 +11,13 @@ from visionworkbench_tpu.core.exceptions import IOErr
 
 
 def _ratio(v) -> Optional[float]:
+    """EXIF rationals arrive as PIL ``IFDRational`` (float()-able) or raw
+    (numerator, denominator) tuples depending on the writer."""
+    if isinstance(v, tuple) and len(v) == 2:
+        try:
+            return float(v[0]) / float(v[1])
+        except (TypeError, ValueError, ZeroDivisionError):
+            return None
     try:
         return float(v)
     except (TypeError, ValueError):
