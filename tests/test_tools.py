@@ -141,3 +141,62 @@ def test_georef_query_tool(tmp_path, capsys):
     assert georef_query_main([path]) == 0
     out = capsys.readouterr().out
     assert "32x32" in out and "nodata: -1.0" in out and "lonlat bbox" in out
+
+
+def test_detect_water_tool(tmp_path, rng, capsys):
+    from visionworkbench_tpu.fileio import read_tiff, write_tiff
+    from visionworkbench_tpu.tools.detect_water import main
+
+    img = np.zeros((48, 48, 5), np.float32)
+    img[..., 2] = 0.2   # green band (landsat index 2)
+    img[..., 4] = 0.4   # nir band (landsat index 4): land
+    img[8:28, 8:28, 2] = 0.5
+    img[8:28, 8:28, 4] = 0.1                           # water block
+    path = str(tmp_path / "scene.tif")
+    write_tiff(path, img)
+    out = str(tmp_path / "water.tif")
+    assert main([path, "-o", out, "--mode", "landsat",
+                 "--min-blob-area", "4"]) == 0
+    water, _ = read_tiff(out)
+    assert water[16, 16] == 255
+    assert water[2, 2] == 0
+    assert "% water" in capsys.readouterr().out
+
+    # sentinel1 mode on a bimodal backscatter band
+    sar = (0.5 + 0.05 * rng.random((48, 48))).astype(np.float32)
+    sar[10:30, 10:30] = 0.05
+    spath = str(tmp_path / "sar.tif")
+    write_tiff(spath, sar)
+    sout = str(tmp_path / "sar_water.tif")
+    assert main([spath, "-o", sout, "--mode", "sentinel1"]) == 0
+    wsar, _ = read_tiff(sout)
+    assert wsar[20, 20] == 255 and wsar[2, 2] == 0
+
+
+def test_clean_sentinel1_borders_tool(tmp_path, capsys):
+    from visionworkbench_tpu.fileio import read_tiff, write_tiff
+    from visionworkbench_tpu.tools.clean_sentinel1_borders import main
+
+    img = 0.5 * np.ones((40, 40), np.float32)
+    img[:, :6] = 0.001          # low-backscatter border strip
+    path = str(tmp_path / "grd.tif")
+    write_tiff(path, img)
+    out = str(tmp_path / "clean.tif")
+    assert main([path, "-o", out]) == 0
+    cleaned, info = read_tiff(out)
+    assert cleaned[20, 2] == 0.0          # border blanked to nodata
+    assert cleaned[20, 20] == pytest.approx(0.5)
+
+
+def test_print_exif_tool(tmp_path, capsys):
+    from PIL import Image
+    from visionworkbench_tpu.tools.print_exif import main
+
+    path = str(tmp_path / "p.jpg")
+    im = Image.new("L", (8, 8), 100)
+    exif = Image.Exif()
+    exif[271] = "MakeX"
+    im.save(path, exif=exif)
+    assert main([path]) == 0
+    out = capsys.readouterr().out
+    assert "MakeX" in out
