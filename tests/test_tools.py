@@ -200,3 +200,17 @@ def test_print_exif_tool(tmp_path, capsys):
     assert main([path]) == 0
     out = capsys.readouterr().out
     assert "MakeX" in out
+
+
+def test_correlate_tool_sgm(stereo_pair, tmp_path, capsys):
+    lp, rp, dx = stereo_pair
+    out_prefix = str(tmp_path / "disp_sgm")
+    rc = correlate_main([lp, rp, "-o", out_prefix, "--xrange", "10",
+                        "--yrange", "1", "--kernel", "5", "5",
+                        "--use-sgm", "--cost-mode", "census"])
+    assert rc == 0
+    disp, _ = read_tiff(out_prefix + ".tif")
+    valid = disp[..., 2] > 0.5
+    core = np.s_[10:-10, 12:-12]
+    correct = np.abs(disp[..., 0][core][valid[core]] - dx) <= 1.0
+    assert correct.mean() > 0.8
