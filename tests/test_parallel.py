@@ -181,3 +181,24 @@ def test_hierarchical_sharded_subpixel_and_offsets(rng):
     assert close.mean() > 0.99, f"subpixel agreement {close.mean()}"
     err = np.abs(sd[core][..., 0][sv[core]] - 5.0)
     assert np.median(err) < 0.5
+
+
+@needs_devices
+def test_hierarchical_clamps_levels_to_band(rng):
+    # 100-row bands divide by 4 but not 8: depth clamps instead of raising.
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 400, 64
+    tex = np.asarray(rng.random((h, w + 6)), np.float32)
+    left = jnp.asarray(tex[:, :w])
+    right = jnp.asarray(tex[:, 3:3 + w])
+    sr = BBox2i(-4, 0, 8, 1)
+    dm = hierarchical_sharded_correlate(left, right, sr, make_tile_mesh(4),
+                                        kernel_size=(7, 7),
+                                        max_pyramid_levels=5, tile_size=16,
+                                        filter_half_kernel=2)
+    d = np.asarray(dm.disparity)
+    v = np.asarray(dm.valid)
+    core = np.s_[8:-8, 12:-12]
+    assert (d[core][..., 0][v[core]] == -3).mean() > 0.9

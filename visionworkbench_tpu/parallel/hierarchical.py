@@ -108,9 +108,11 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
 
     levels = max_pyramid_levels_for(w, h, (kw, kh), search_region,
                                     max_pyramid_levels)
+    # Pyramid subsample grids must stay band-aligned: clamp the depth to the
+    # band's power-of-two divisibility instead of failing.
+    while levels > 0 and hb % (1 << levels) != 0:
+        levels -= 1
     up = 1 << levels
-    if hb % up != 0:
-        raise ArgumentErr(f"band height {hb} must divide by 2^levels={up}")
     off_x = half_kw * up
     t = int(tile_size)
 
