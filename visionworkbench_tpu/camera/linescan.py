@@ -16,7 +16,7 @@ samples interpolated with ``math.misc`` splines).
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

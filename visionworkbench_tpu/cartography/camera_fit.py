@@ -12,7 +12,7 @@ the Jacobian is central-difference like the reference's
 from __future__ import annotations
 
 import copy
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
