@@ -202,3 +202,44 @@ def test_hierarchical_clamps_levels_to_band(rng):
     v = np.asarray(dm.valid)
     core = np.s_[8:-8, 12:-12]
     assert (d[core][..., 0][v[core]] == -3).mean() > 0.9
+
+
+@needs_devices
+def test_hierarchical_sharded_masks_match_whole(rng):
+    # User masks: mean-fill + mask pyramids + disparity_mask, banded.
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 256, 96
+    shift = (3, 1)
+    sx, sy = 6, 3
+    ys, xs = np.mgrid[0:h + sy, 0:w + sx].astype(np.float32)
+    tex = (np.sin(xs * 0.37) * np.cos(ys * 0.29)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w].copy()
+    lmask = np.ones((h, w), bool)
+    lmask[100:140, 30:60] = False               # hole crossing a band edge
+    rmask = np.ones((h, w), bool)
+    rmask[:, :10] = False
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=2, tile_size=16,
+                  filter_half_kernel=3)
+    whole = pyramid_correlate(left_j, right_j, sr,
+                              left_mask=jnp.asarray(lmask),
+                              right_mask=jnp.asarray(rmask), **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = hierarchical_sharded_correlate(
+        left_j, right_j, sr, mesh, left_mask=jnp.asarray(lmask),
+        right_mask=jnp.asarray(rmask), **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    # Masked-out left pixels must be invalid in both.
+    assert not sv[110:130, 35:55].any()
+    core = np.s_[16:-16, 16:-16]
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.99, f"masked shard/whole agreement {agree.mean()}"
+    # validity maps themselves should mostly agree
+    assert (wv[core] == sv[core]).mean() > 0.97

@@ -20,9 +20,10 @@ Level/tile coordinate frames match ``stereo.pyramid_correlation`` (the
 monolithic engine) so interior results agree; global image edges use
 replicated edge rows exactly like the monolithic ``crop_extended`` padding.
 
-Scope: cost correlation + per-level cleanup + optional parabola subpixel.
-Masks, L<->R consistency, and blob filtering still route through the collar
-engine (``sharded_pyramid_correlate``).
+Scope: cost correlation + masks (mean-fill via cross-band psum, banded
+2-of-4 mask pyramids, disparity_mask with exchanged target rows) + per-level
+cleanup + optional parabola subpixel.  L<->R consistency and blob filtering
+still route through the collar engine (``sharded_pyramid_correlate``).
 """
 
 from __future__ import annotations
@@ -49,7 +50,8 @@ from visionworkbench_tpu.stereo.disparity import (
 )
 from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
 from visionworkbench_tpu.stereo.pyramid_correlation import (
-    _blur_downsample, _cdiv, _tile_offsets, _tiled_search, max_pyramid_levels_for,
+    _blur_downsample, _cdiv, _mask_downsample, _tile_offsets, _tiled_search,
+    max_pyramid_levels_for,
 )
 
 
@@ -69,6 +71,7 @@ def _halo_cleanup(dm: DisparityMap, fhk: int, on_last: bool) -> DisparityMap:
 
 def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                    mesh: Mesh,
+                                   left_mask=None, right_mask=None,
                                    kernel_size: Tuple[int, int] = (21, 21),
                                    cost_type: str = ABSOLUTE_DIFFERENCE,
                                    prefilter_mode: str = PREFILTER_NONE,
@@ -88,6 +91,11 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     h, w = left.shape
+    has_masks = left_mask is not None or right_mask is not None
+    lmask_in = (jnp.ones((h, w), bool) if left_mask is None
+                else jnp.asarray(left_mask).astype(bool))
+    rmask_in = (jnp.ones(right.shape, bool) if right_mask is None
+                else jnp.asarray(right_mask).astype(bool))
     if right.shape != (h, w):
         raise ArgumentErr("hierarchical_sharded_correlate: left/right must "
                           "share a shape (fold extra right columns into "
@@ -127,7 +135,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
     if prefilter_mode != PREFILTER_NONE:
         pf_halo = int(7 * prefilter_width) // 2 + 2
 
-    def shard_fn(lblock, rblock):
+    def shard_fn(lblock, rblock, lmblock, rmblock):
         # Full-res bands in the stored frames.  The right band is the
         # search-origin-shifted frame: its row r = right row r + smin_y,
         # col c = right col c + smin_x - off_x.
@@ -138,6 +146,33 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
         rrows = lax.dynamic_slice_in_dim(rpad, top + smin_y, hb, axis=0)
         rband = crop_extended(rrows, smin_x - off_x, 0, rbase_w, hb,
                               mode="constant")
+
+        # Output-frame masks (ref CorrelationView.cc:195-199): left over the
+        # (h, w) band, right zero-extended over the shifted (w + s_w) frame.
+        lmask0 = lmblock
+        rm_pad = halo_exchange_rows(rmblock.astype(jnp.int32), top, bot)
+        g0_full = lax.axis_index(TILE_AXIS) * hb
+        rm_rows_g = (g0_full - top + jnp.arange(rm_pad.shape[0]))
+        rm_pad = rm_pad * ((rm_rows_g >= 0) & (rm_rows_g < h)
+                           ).astype(jnp.int32)[:, None]
+        rm_rows = lax.dynamic_slice_in_dim(rm_pad, top + smin_y, hb, axis=0)
+        rmask0 = crop_extended(rm_rows, smin_x, 0, w + s_w, hb,
+                               mode="zero").astype(bool)
+
+        if has_masks:
+            # Mean-fill masked pixels with the GLOBAL valid mean
+            # (ref CorrelationView.cc:129-150), via cross-band psums.
+            lb_mask = crop_extended(lmblock, -off_x, 0, base_w, hb,
+                                    mode="zero").astype(bool)
+            rb_mask = crop_extended(rmask0, -off_x, 0, rbase_w, hb,
+                                    mode="zero").astype(bool)
+
+            def fill(img, mask):
+                s = lax.psum(jnp.sum(jnp.where(mask, img, 0.0)), TILE_AXIS)
+                c = lax.psum(jnp.sum(mask), TILE_AXIS)
+                return jnp.where(mask, img, s / jnp.maximum(c, 1))
+            lband = fill(lband, lb_mask)
+            rband = fill(rband, rb_mask)
 
         def level_filter(img):
             if prefilter_mode == PREFILTER_NONE:
@@ -159,6 +194,12 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
             rpyr.append(down(rpyr[-1]))
         lpyr = [level_filter(im) for im in lpyr]
         rpyr = [level_filter(im) for im in rpyr]
+        # 2-of-4 mask pyramids; the 2x2 blocks never cross band edges
+        # (band heights divide by 2^levels), so no exchange is needed.
+        lmask_pyr, rmask_pyr = [lmask0], [rmask0]
+        for _ in range(levels):
+            lmask_pyr.append(_mask_downsample(lmask_pyr[-1]))
+            rmask_pyr.append(_mask_downsample(rmask_pyr[-1]))
 
         dm: Optional[DisparityMap] = None
         for level in range(levels, -1, -1):
@@ -225,6 +266,15 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                 ok = ((rows_g >= r_lo) & (rows_g < r_hi)
                       & (cols_g >= c_lo) & (cols_g < c_hi))
                 valid2 = dm.valid & ok
+                if has_masks:
+                    # disparity_mask against the user masks: the target row
+                    # p + dy can land in the next band's rows.
+                    lm_l = lmask_pyr[level][:band_l, :out_w]
+                    rm_l = rmask_pyr[level]
+                    rm_ext = halo_exchange_rows(rm_l, 0, s_h_l)
+                    rows_l = jnp.clip(rows_g - g0, 0, rm_ext.shape[0] - 1)
+                    cols_l = jnp.clip(cols_g, 0, rm_ext.shape[1] - 1)
+                    valid2 = valid2 & lm_l & rm_ext[rows_l, cols_l]
                 dm = DisparityMap(
                     jnp.where(valid2[..., None], dm.disparity, 0), valid2)
 
@@ -264,6 +314,8 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
         return final.disparity, final.valid
 
     spec = P(TILE_AXIS)
-    disp, valid = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec),
-                            out_specs=(spec, spec), check_vma=False)(left, right)
+    disp, valid = shard_map(shard_fn, mesh=mesh,
+                            in_specs=(spec, spec, spec, spec),
+                            out_specs=(spec, spec), check_vma=False)(
+        left, right, lmask_in, rmask_in)
     return DisparityMap(disp, valid)
