@@ -243,3 +243,40 @@ def test_hierarchical_sharded_masks_match_whole(rng):
     assert agree.mean() > 0.99, f"masked shard/whole agreement {agree.mean()}"
     # validity maps themselves should mostly agree
     assert (wv[core] == sv[core]).mean() > 0.97
+
+
+@needs_devices
+def test_hierarchical_consistency_matches_whole(rng):
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 256, 96
+    shift = (3, 1)
+    sx, sy = 6, 3
+    ys, xs = np.mgrid[0:h + sy, 0:w + sx].astype(np.float32)
+    tex = (np.sin(xs * 0.37) * np.cos(ys * 0.29)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w].copy()
+    # Break the texture in a block so LR/RL disagree there.
+    left[60:90, 40:70] = rng.random((30, 30)).astype(np.float32)
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=2, tile_size=16,
+                  filter_half_kernel=3, consistency_threshold=1.0)
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = hierarchical_sharded_correlate(left_j, right_j, sr, mesh,
+                                             **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[16:-16, 16:-16]
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.99, f"consistency shard/whole {agree.mean()}"
+    assert (wv[core] == sv[core]).mean() > 0.97
+    # The check must actually reject some pixels (vs no-consistency run).
+    nc = hierarchical_sharded_correlate(
+        left_j, right_j, sr, mesh, **{**kwargs,
+                                      "consistency_threshold": -1.0})
+    assert sv.sum() < np.asarray(nc.valid).sum()

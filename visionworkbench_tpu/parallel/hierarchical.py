@@ -21,9 +21,10 @@ monolithic engine) so interior results agree; global image edges use
 replicated edge rows exactly like the monolithic ``crop_extended`` padding.
 
 Scope: cost correlation + masks (mean-fill via cross-band psum, banded
-2-of-4 mask pyramids, disparity_mask with exchanged target rows) + per-level
-cleanup + optional parabola subpixel.  L<->R consistency and blob filtering
-still route through the collar engine (``sharded_pyramid_correlate``).
+2-of-4 mask pyramids, disparity_mask with exchanged target rows) + L<->R
+consistency (banded reverse search + RL row exchange) + per-level cleanup +
+optional parabola subpixel.  Only blob filtering (a global connected-
+component pass) still routes through the collar engine.
 """
 
 from __future__ import annotations
@@ -46,7 +47,8 @@ from visionworkbench_tpu.stereo.correlation import (
     ABSOLUTE_DIFFERENCE, DisparityMap,
 )
 from visionworkbench_tpu.stereo.disparity import (
-    disparity_cleanup_using_thresh, disparity_upsample, rm_outliers_using_thresh,
+    cross_corr_consistency_check, disparity_cleanup_using_thresh,
+    disparity_upsample, rm_outliers_using_thresh,
 )
 from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
 from visionworkbench_tpu.stereo.pyramid_correlation import (
@@ -74,6 +76,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                    left_mask=None, right_mask=None,
                                    kernel_size: Tuple[int, int] = (21, 21),
                                    cost_type: str = ABSOLUTE_DIFFERENCE,
+                                   consistency_threshold: float = -1.0,
                                    prefilter_mode: str = PREFILTER_NONE,
                                    prefilter_width: float = 1.4,
                                    max_pyramid_levels: int = 5,
@@ -245,6 +248,44 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                         s_y_eff, kw, kh, cost_type,
                                         census_window)
             dm = DisparityMap(disp[:band_l, :out_w], valid[:band_l, :out_w])
+
+            if on_last and consistency_threshold >= 0:
+                # Banded L<->R check (ref CorrelationView.cc:653-695 /
+                # the monolithic engine's RL block): run the reverse search
+                # with the right band as base, margins folded into the
+                # offsets so all slices stay non-negative, then exchange the
+                # RL rows the forward disparities can reach.
+                rl_out_w = out_w + s_w_l
+                rntx = _cdiv(rl_out_w, t)
+                off_src = jnp.pad(
+                    offsets, ((0, 0), (0, max(rntx - offsets.shape[1], 0)),
+                              (0, 0)))[:nty, :rntx]
+                neg_off = -(off_src + jnp.array([s_x_eff - 1, s_y_eff - 1],
+                                                jnp.int32))
+                margin_x = s_x_eff - 1 + (s_w_l - s_x_eff)
+                margin_y = s_y_eff - 1 + (s_h_l - s_y_eff)
+                rl_origin = jnp.array([margin_x, margin_y], jnp.int32)
+                rbw = rntx * t + kw - 1
+                rl_base = halo_exchange_rows(rpyr[level], half_kh,
+                                             half_kh + row_pad)
+                rl_base = crop_extended(rl_base, lx0, 0, rbw,
+                                        rl_base.shape[0], mode="constant")
+                rl_match = halo_exchange_rows(
+                    lpyr[level], margin_y + half_kh,
+                    half_kh + row_pad + s_y_eff - 1)
+                rl_match = crop_extended(rl_match, lx0 - margin_x, 0,
+                                         rbw + s_x_eff - 1 + margin_x,
+                                         rl_match.shape[0], mode="constant")
+                rl_disp, rl_valid = _tiled_search(
+                    rl_base, rl_match, neg_off + rl_origin, t, s_x_eff,
+                    s_y_eff, kw, kh, cost_type, census_window)
+                rl_disp = (rl_disp - rl_origin)[:band_l, :rl_out_w]
+                rl_valid = rl_valid[:band_l, :rl_out_w]
+                rl_dm = DisparityMap(
+                    halo_exchange_rows(rl_disp, 0, s_h_l),
+                    halo_exchange_rows(rl_valid, 0, s_h_l))
+                dm = cross_corr_consistency_check(dm, rl_dm,
+                                                  consistency_threshold)
 
             if filter_half_kernel > 0:
                 dm = _halo_cleanup(dm, int(filter_half_kernel), on_last)
