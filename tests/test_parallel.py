@@ -280,3 +280,38 @@ def test_hierarchical_consistency_matches_whole(rng):
         left_j, right_j, sr, mesh, **{**kwargs,
                                       "consistency_threshold": -1.0})
     assert sv.sum() < np.asarray(nc.valid).sum()
+
+
+@needs_devices
+def test_hierarchical_blob_filter_matches_whole(rng):
+    from visionworkbench_tpu.parallel.hierarchical import (
+        hierarchical_sharded_correlate,
+    )
+    h, w = 256, 96
+    shift = (3, 0)
+    sx = 6
+    ys, xs = np.mgrid[0:h, 0:w + sx].astype(np.float32)
+    tex = (np.sin(xs * 0.37) * np.cos(ys * 0.29)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:, :w].copy()
+    right = tex[:, shift[0]:shift[0] + w].copy()
+    # Flat (textureless) stripes so cleanup leaves isolated valid islands.
+    left[40:80] = 0.5
+    left[120:200] = 0.5
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, 0, 2 * sx, 1)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=1, tile_size=16,
+                  filter_half_kernel=3, blob_filter_area=40)
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(4)
+    sharded = hierarchical_sharded_correlate(left_j, right_j, sr, mesh,
+                                             **kwargs)
+    wv = np.asarray(whole.valid)
+    sv = np.asarray(sharded.valid)
+    core = np.s_[16:-16, 16:-16]
+    assert (wv[core] == sv[core]).mean() > 0.99, \
+        f"blob shard/whole valid agreement {(wv[core] == sv[core]).mean()}"
+    # the filter must have removed something relative to no-blob run
+    nb = hierarchical_sharded_correlate(
+        left_j, right_j, sr, mesh, **{**kwargs, "blob_filter_area": 0})
+    assert sv.sum() <= np.asarray(nb.valid).sum()

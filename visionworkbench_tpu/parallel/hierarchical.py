@@ -20,11 +20,13 @@ Level/tile coordinate frames match ``stereo.pyramid_correlation`` (the
 monolithic engine) so interior results agree; global image edges use
 replicated edge rows exactly like the monolithic ``crop_extended`` padding.
 
-Scope: cost correlation + masks (mean-fill via cross-band psum, banded
-2-of-4 mask pyramids, disparity_mask with exchanged target rows) + L<->R
-consistency (banded reverse search + RL row exchange) + per-level cleanup +
-optional parabola subpixel.  Only blob filtering (a global connected-
-component pass) still routes through the collar engine.
+Full feature parity with the monolithic engine: cost correlation, user
+masks (mean-fill via cross-band psum, banded 2-of-4 mask pyramids,
+disparity_mask with exchanged target rows), L<->R consistency (banded
+reverse search + RL row exchange), per-level speckle cleanup, small-blob
+removal (exact: a blob below the area threshold fits within
+area-threshold rows of any of its pixels, so an area-sized halo
+classifies band rows exactly), and parabola subpixel.
 """
 
 from __future__ import annotations
@@ -77,6 +79,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                    kernel_size: Tuple[int, int] = (21, 21),
                                    cost_type: str = ABSOLUTE_DIFFERENCE,
                                    consistency_threshold: float = -1.0,
+                                   blob_filter_area: int = 0,
                                    prefilter_mode: str = PREFILTER_NONE,
                                    prefilter_width: float = 1.4,
                                    max_pyramid_levels: int = 5,
@@ -318,6 +321,24 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                     valid2 = valid2 & lm_l & rm_ext[rows_l, cols_l]
                 dm = DisparityMap(
                     jnp.where(valid2[..., None], dm.disparity, 0), valid2)
+
+            if blob_filter_area > 0:
+                area = int(blob_filter_area) // scaling
+                if area >= 1:
+                    # Exact banded small-blob removal: a blob with area < A
+                    # fits within A rows of any of its pixels, so labeling a
+                    # band extended by A rows classifies the band's own rows
+                    # exactly (anything reaching past the halo has area >= A
+                    # inside the window and is kept).
+                    from visionworkbench_tpu.image.morphology import (
+                        remove_small_blobs,
+                    )
+                    hb_blob = area
+                    v_ext = halo_exchange_rows(dm.valid, hb_blob, hb_blob)
+                    keep = remove_small_blobs(v_ext, area)[
+                        hb_blob:hb_blob + band_l]
+                    dm = DisparityMap(
+                        jnp.where(keep[..., None], dm.disparity, 0), keep)
 
         final = DisparityMap(
             jnp.where(dm.valid[..., None],
