@@ -76,6 +76,37 @@ def test_sgm_subpixel_modes(rng, mode):
     assert np.median(err) < 0.5
 
 
+@pytest.mark.parametrize("algo", ["sgm", "mgm"])
+def test_pyramid_sgm_known_shift(rng, algo):
+    # SGM inside the pyramid correlator (ref stereo_algorithm switch,
+    # CorrelationView.h:45): coarse-to-fine with per-tile relative windows.
+    from visionworkbench_tpu.math.bbox import BBox2i
+    from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+    h, w = 96, 128
+    shift = (11, 2)
+    search = (24, 6)
+    ys, xs = np.mgrid[0:h + search[1], 0:w + search[0]].astype(np.float32)
+    tex = (np.sin(xs * 0.35) * np.cos(ys * 0.27)
+           + 0.5 * np.sin(xs * 0.11 + ys * 0.09)
+           + 0.25 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = np.array(rng.random((h + search[1], w + search[0])), np.float32)
+    right[shift[1]:shift[1] + h, shift[0]:shift[0] + w] = left
+    dm = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                           BBox2i(0, 0, *search), stereo_algorithm=algo,
+                           subpixel="parabola", max_pyramid_levels=2,
+                           tile_size=16, consistency_threshold=2.0)
+    disp = np.asarray(dm.disparity)
+    valid = np.asarray(dm.valid)
+    core = np.s_[10:-10, 14:-14]
+    v = valid[core]
+    assert v.mean() > 0.8
+    ok = ((np.abs(disp[core][..., 0] - shift[0]) < 0.6) &
+          (np.abs(disp[core][..., 1] - shift[1]) < 0.6))[v]
+    assert ok.mean() > 0.95, f"fraction correct: {ok.mean()}"
+    assert disp.dtype == np.float32
+
+
 def test_sgm_bad_args():
     import jax.numpy as jnp
     from visionworkbench_tpu.core.exceptions import ArgumentErr

@@ -170,6 +170,7 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       subpixel: str = "none",
                       blob_filter_area: int = 0,
                       engine: str = "auto",
+                      stereo_algorithm: str = "bm",
                       keep_levels: bool = False) -> DisparityMap:
     """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
     CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
@@ -178,12 +179,26 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     absolute right-image offsets (``search_region.min`` already added, as the
     reference does at the end of ``prerasterize``). ``subpixel='parabola'``
     appends the 9-point quadratic refinement (``parabola_subpixel``).
+
+    ``stereo_algorithm`` selects the per-level engine like the reference's
+    ``CorrelationAlgorithm`` (CorrelationView.h:45, ``VW_CORRELATION_{BM,SGM,
+    MGM}``): ``"bm"`` block matching (above), or ``"sgm"``/``"mgm"``
+    semi-global matching per level over the same per-tile search offsets
+    (census costs of ``census_window``; padding uses the census kernel, and
+    ``subpixel`` may be any SGM mode — applied inside the last level, as the
+    reference does).
     """
     from visionworkbench_tpu.core.exceptions import ArgumentErr
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     h, w = left.shape
     kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    if stereo_algorithm not in ("bm", "sgm", "mgm"):
+        raise ArgumentErr(f"unknown stereo_algorithm {stereo_algorithm!r}")
+    sgm_mode = stereo_algorithm in ("sgm", "mgm")
+    if sgm_mode:
+        # Census support drives the pyramid padding in SGM mode.
+        kw = kh = int(census_window)
     if kw % 2 != 1 or kh % 2 != 1:
         raise ArgumentErr("pyramid_correlate: kernel dimensions must be odd")
     if search_region.width <= 0 or search_region.height <= 0:
@@ -197,7 +212,34 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         engine = "xla"
     if engine not in ("xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
-    use_pallas = engine == "pallas" and cost_type in (ABSOLUTE_DIFFERENCE, "sq")
+    use_pallas = (engine == "pallas" and not sgm_mode
+                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq"))
+
+    if sgm_mode:
+        from visionworkbench_tpu.stereo.sgm import (
+            SUBPIXEL_MODES, _P1_TABLE, _P2_TABLE, sgm_relative_search,
+        )
+        if subpixel not in SUBPIXEL_MODES:
+            raise ArgumentErr(f"unknown SGM subpixel mode {subpixel!r}")
+        sgm_cost = ("ternary_census" if cost_type == "ternary_census"
+                    else "census")
+        tkey = (sgm_cost, int(census_window))
+        sgm_p1 = float(_P1_TABLE.get(tkey, 3))
+        sgm_p2 = float(_P2_TABLE.get(tkey, 70))
+
+        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_):
+            return sgm_relative_search(
+                lbase_, mbase_, offsets_, t_, sx_, sy_, int(census_window),
+                sgm_cost == "ternary_census", 2, sgm_p1, sgm_p2,
+                stereo_algorithm == "mgm", subpixel if last_ else "none")
+    else:
+        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_):
+            if use_pallas:
+                from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
+                return pallas_tiled_search(lbase_, mbase_, offsets_, t_,
+                                           sx_, sy_, kw, kh, cost_type)
+            return _tiled_search(lbase_, mbase_, offsets_, t_, sx_, sy_,
+                                 kw, kh, cost_type, census_window)
     s_w, s_h = int(search_region.width), int(search_region.height)
     smin_x, smin_y = int(search_region.min_x), int(search_region.min_y)
 
@@ -315,15 +357,8 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         mw = lbw + s_w_l - 1
         mbase = crop_extended(right_pyr[level], lx0, ly0, mw, mh, mode="constant")
 
-        if use_pallas:
-            from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
-            disp, valid = pallas_tiled_search(lbase, mbase, offsets, t,
-                                              s_x_eff, s_y_eff, kw, kh,
-                                              cost_type)
-        else:
-            disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff,
-                                        s_y_eff, kw, kh, cost_type,
-                                        census_window)
+        disp, valid = _level_search(lbase, mbase, offsets, t,
+                                    s_x_eff, s_y_eff, on_last)
         disp = disp[:out_h, :out_w]
         valid = valid[:out_h, :out_w]
         dm = DisparityMap(disp, valid)
@@ -357,15 +392,9 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             rl_match = crop_extended(left_pyr[level], lx0 - margin_x,
                                      ly0 - margin_y, lm_w, lm_h, mode="constant")
             rl_origin = jnp.array([margin_x, margin_y], jnp.int32)
-            if use_pallas:
-                from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
-                rl_disp, rl_valid = pallas_tiled_search(
-                    rl_base, rl_match, neg_off + rl_origin,
-                    t, s_x_eff, s_y_eff, kw, kh, cost_type)
-            else:
-                rl_disp, rl_valid = _tiled_search(
-                    rl_base, rl_match, neg_off + rl_origin,
-                    t, s_x_eff, s_y_eff, kw, kh, cost_type, census_window)
+            rl_disp, rl_valid = _level_search(rl_base, rl_match,
+                                              neg_off + rl_origin,
+                                              t, s_x_eff, s_y_eff, on_last)
             rl_disp = rl_disp - rl_origin
             rl_dm = DisparityMap(rl_disp[:rl_out_h, :rl_out_w],
                                  rl_valid[:rl_out_h, :rl_out_w])
@@ -401,7 +430,9 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                   dm.disparity + jnp.array([smin_x, smin_y], dm.disparity.dtype), 0),
         dm.valid)
 
-    if subpixel == "parabola":
+    if sgm_mode:
+        pass  # SGM subpixel already applied inside the last level
+    elif subpixel == "parabola":
         final = parabola_subpixel(final, left, right, (kw, kh),
                                   prefilter_mode, prefilter_width)
     elif subpixel != "none":

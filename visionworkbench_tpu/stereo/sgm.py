@@ -13,13 +13,18 @@ Reference semantics preserved:
   (``SgmSubpixelMode``)
 
 TPU formulation: the reference sweeps scanlines with SSE kernels across a
-thread pool (``SGM.cc:2462-2531``). Here each direction is one ``lax.scan``
-along the scan axis with the full perpendicular line x disparity plane as the
-carry — the per-step update is pure VPU work over (H, D) lanes, and the
-disparity-grid neighborhood min is a 3x3 ``reduce_window``. Diagonal paths
-shift the carry by one row per step. MGM's two-neighbor causal dependency is
-rotated into a pure column scan by shearing the image (x' = x + y makes both
-causal neighbors live in column x'-1), so it runs as the same scan.
+thread pool (``SGM.cc:2462-2531``). Here the 8 directions run as FOUR
+``lax.scan``s (forward-x, reverse-x, forward-y, reverse-y), each carrying the
+full perpendicular image line x disparity plane with the image line on the
+minor (lane) axis — ``(B, sy, sx, L)`` — so the per-step VPU work is fully
+lane-occupied regardless of search-volume shape. The three dx=+1 paths
+(horizontal + both diagonals) batch into one scan: a diagonal is just a
+one-lane shift of the carry. The disparity-grid 3x3 neighborhood min is two
+separable shifted-min passes (exact 3x3 semantics even for 2-wide search
+axes). MGM's two-neighbor causal dependency is rotated into a pure column
+scan by shearing the image (x' = x + y makes both causal neighbors live in
+column x'-1); all four MGM orientations batch into one sheared scan via
+flipped copies.
 """
 
 from __future__ import annotations
@@ -72,132 +77,159 @@ def _census_cost_volume(left_u8, right_u8, sx: int, sy: int, window: int,
     return jnp.stack(vols, -2)  # (H, W, sy, sx)
 
 
-def _nbhd_min(plane, sy: int, sx: int):
-    """3x3 min over the (sy, sx) disparity grid; plane (..., sy, sx)."""
-    if sy == 1 and sx == 1:
-        return plane
-    return lax.reduce_window(plane, float("inf"), lax.min,
-                             (1,) * (plane.ndim - 2) + (min(3, sy), min(3, sx)),
-                             (1,) * plane.ndim, "SAME")
+def _grid_min3(p):
+    """Exact 3x3 neighborhood min over the (sy, sx) disparity grid.
+    ``p`` is (..., sy, sx, L); out-of-grid neighbors count as +BIG.
+    Two separable shifted-min passes (VPU-friendly; no reduce_window)."""
+    sy, sx = p.shape[-3], p.shape[-2]
+    q = p
+    if sy > 1:
+        big = jnp.full_like(p[..., :1, :, :], _BIG)
+        q = jnp.minimum(q, jnp.concatenate([big, p[..., :-1, :, :]], -3))
+        q = jnp.minimum(q, jnp.concatenate([p[..., 1:, :, :], big], -3))
+    if sx > 1:
+        big = jnp.full_like(q[..., :, :1, :], _BIG)
+        r = jnp.minimum(q, jnp.concatenate([big, q[..., :, :-1, :]], -2))
+        q = jnp.minimum(r, jnp.concatenate([q[..., :, 1:, :], big], -2))
+    return q
 
 
-def _path_update(prior, cost, pdiff, p1: float, p2: float, sy: int, sx: int):
-    """One SGM step for a whole line: prior/cost (L, sy, sx), pdiff (L,)."""
-    min_prior = jnp.min(prior, axis=(-2, -1))                    # (L,)
-    p2m = jnp.maximum(p2 / jnp.maximum(pdiff, 1.0), p1)          # (L,)
-    nb = _nbhd_min(prior, sy, sx) + p1
+def _path_update(prior, cost, pdiff, p1: float, p2: float):
+    """One SGM step for a batch of whole lines.
+
+    ``prior``/``cost`` (B, sy, sx, L) with the image line on lanes (L);
+    ``pdiff`` (B, L). Update: ``C + min(prior, nbhd3x3(prior)+P1,
+    min_prior+P2') - min_prior`` with ``P2' = max(P2/|dI|, P1)``
+    (ref ``evaluate_path``, SGM.cc:806-850)."""
+    min_prior = jnp.min(prior, axis=(-3, -2))                    # (B, L)
+    p2m = jnp.maximum(p2 / jnp.maximum(pdiff, 1.0), p1)          # (B, L)
+    nb = _grid_min3(prior) + p1
     best = jnp.minimum(jnp.minimum(prior, nb),
-                       (min_prior + p2m)[..., None, None])
-    valid = (min_prior < _BIG / 2)[..., None, None]
-    return cost + jnp.where(valid, best - min_prior[..., None, None], 0.0)
+                       (min_prior + p2m)[..., None, None, :])
+    valid = (min_prior < _BIG / 2)[..., None, None, :]
+    return cost + jnp.where(valid, best - min_prior[..., None, None, :], 0.0)
 
 
-def _scan_cols(cost, image, dx_dir: int, dy_dir: int, p1: float, p2: float):
-    """Directional pass with scan axis x. cost (H, W, sy, sx); image (H, W).
-    dx_dir: +1 scans left->right (predecessor x-1), -1 the reverse.
-    dy_dir in {-1, 0, +1} selects the row shift (diagonal paths)."""
-    h, w, sy, sx = cost.shape
-    c = cost
-    img = image
-    if dx_dir < 0:
-        c = jnp.flip(c, 1)
-        img = jnp.flip(img, 1)
-    # pdiff along the path: |I(y, x) - I(y - dy, x - 1)| in scan space.
-    prev_img = jnp.pad(img, ((0, 0), (1, 0)), mode="edge")[:, :-1]
-    if dy_dir > 0:
-        prev_img = jnp.pad(prev_img, ((1, 0), (0, 0)), mode="edge")[:-1]
-    elif dy_dir < 0:
-        prev_img = jnp.pad(prev_img, ((0, 1), (0, 0)), mode="edge")[1:]
-    pdiff = jnp.abs(img - prev_img)
+def _shift_lane(a, d: int):
+    """Shift along the minor (lane) axis: out[..., i] = a[..., i-d], BIG fill."""
+    if d == 0:
+        return a
+    big = jnp.full_like(a[..., :1], _BIG)
+    if d > 0:
+        return jnp.concatenate([big, a[..., :-1]], -1)
+    return jnp.concatenate([a[..., 1:], big], -1)
 
-    cT = jnp.moveaxis(c, 1, 0)          # (W, H, sy, sx)
-    pT = jnp.moveaxis(pdiff, 1, 0)      # (W, H)
 
-    def shift_prior(prior):
-        if dy_dir > 0:
-            return jnp.concatenate([jnp.full((1, sy, sx), _BIG), prior[:-1]], 0)
-        if dy_dir < 0:
-            return jnp.concatenate([prior[1:], jnp.full((1, sy, sx), _BIG)], 0)
-        return prior
+def _shift_img(img, dy: int, dx: int):
+    """Edge-extended shift: out[y, x] = img[y-dy, x-dx]."""
+    out = img
+    if dx > 0:
+        out = jnp.pad(out, ((0, 0), (dx, 0)), mode="edge")[:, :-dx]
+    elif dx < 0:
+        out = jnp.pad(out, ((0, 0), (0, -dx)), mode="edge")[:, -dx:]
+    if dy > 0:
+        out = jnp.pad(out, ((dy, 0), (0, 0)), mode="edge")[:-dy]
+    elif dy < 0:
+        out = jnp.pad(out, ((0, -dy), (0, 0)), mode="edge")[-dy:]
+    return out
+
+
+def _scan_dir(cost_t, pdiffs, shifts, p1: float, p2: float, reverse: bool):
+    """One batched directional scan.
+
+    ``cost_t`` (N, sy, sx, L): N scan steps of a line-x-disparity plane;
+    ``pdiffs`` (N, B, L): per-direction path gradients; ``shifts``: lane
+    shift of the carry per direction (0 = straight, +-1 = diagonal).
+    Returns the per-step SUM over the B directions, (N, sy, sx, L)."""
+    _, sy, sx, nl = cost_t.shape
+    b = len(shifts)
 
     def step(carry, inp):
         cx, px = inp
-        prior = shift_prior(carry)
-        out = _path_update(prior, cx, px, p1, p2, sy, sx)
-        return out, out
+        prior = jnp.stack([_shift_lane(carry[i], s)
+                           for i, s in enumerate(shifts)], 0)
+        out = _path_update(prior, cx[None], px, p1, p2)
+        return out, jnp.sum(out, 0)
 
-    init = cT[0]
-    _, rest = lax.scan(step, init, (cT[1:], pT[1:]))
-    out = jnp.concatenate([init[None], rest], 0)
-    out = jnp.moveaxis(out, 0, 1)       # (H, W, sy, sx)
-    if dx_dir < 0:
-        out = jnp.flip(out, 1)
-    return out
+    init = jnp.full((b, sy, sx, nl), _BIG)
+    _, ys = lax.scan(step, init, (cost_t, pdiffs), reverse=reverse)
+    return ys
 
 
-def _mgm_pass(cost, image, flip_x: bool, flip_y: bool, p1: float, p2: float):
-    """One MGM pass combining the two causal neighbors (left and up in scan
-    orientation) by averaging their path contributions
-    (ref SGMAssist.h:930-947). Implemented by shearing rows (x' = x + y) so
-    both neighbors live in the previous sheared column, then scanning x'."""
+def _sgm_aggregate(cost, img, p1: float, p2: float):
+    """8-path SGM aggregation as four batched scans. cost (H, W, sy, sx)."""
     h, w, sy, sx = cost.shape
-    c = cost
-    img = image
-    if flip_x:
-        c = jnp.flip(c, 1)
-        img = jnp.flip(img, 1)
-    if flip_y:
-        c = jnp.flip(c, 0)
-        img = jnp.flip(img, 0)
-    ww = w + h
-    # Shear: row y occupies columns [y, y+w).
-    rows_c = []
-    rows_i = []
-    for y in range(h):
-        pad_l = y
-        pad_r = ww - w - y
-        rows_c.append(jnp.pad(c[y], ((pad_l, pad_r), (0, 0), (0, 0)),
-                              constant_values=0.0))
-        rows_i.append(jnp.pad(img[y], (pad_l, pad_r), mode="edge"))
-    cs = jnp.stack(rows_c, 0)           # (H, W+H, sy, sx)
-    imgs = jnp.stack(rows_i, 0)
-    inside = jnp.zeros((h, ww), bool)
-    for y in range(h):
-        inside = inside.at[y, y:y + w].set(True)
+    cost_tx = jnp.transpose(cost, (1, 2, 3, 0))     # (W, sy, sx, H)
 
-    prev_left = jnp.pad(imgs, ((0, 0), (1, 0)), mode="edge")[:, :-1]
-    prev_up = jnp.pad(prev_left, ((1, 0), (0, 0)), mode="edge")[:-1]
+    def pdx(dx):
+        # (W, 3, H) for dy = 0, +1, -1 at the given dx predecessor offset.
+        pd = jnp.stack([jnp.abs(img - _shift_img(img, dy, dx))
+                        for dy in (0, 1, -1)], 0)   # (3, H, W)
+        return jnp.transpose(pd, (2, 0, 1))
+
+    acc_x = (_scan_dir(cost_tx, pdx(1), (0, 1, -1), p1, p2, False) +
+             _scan_dir(cost_tx, pdx(-1), (0, 1, -1), p1, p2, True))
+    del cost_tx
+
+    cost_ty = jnp.transpose(cost, (0, 2, 3, 1))     # (H, sy, sx, W)
+    pd_d = jnp.abs(img - _shift_img(img, 1, 0))[:, None, :]    # (H, 1, W)
+    pd_u = jnp.abs(img - _shift_img(img, -1, 0))[:, None, :]
+    acc_y = (_scan_dir(cost_ty, pd_d, (0,), p1, p2, False) +
+             _scan_dir(cost_ty, pd_u, (0,), p1, p2, True))
+    return (jnp.transpose(acc_x, (3, 0, 1, 2)) +
+            jnp.transpose(acc_y, (0, 3, 1, 2)))     # (H, W, sy, sx)
+
+
+def _mgm_aggregate(cost, img, p1: float, p2: float):
+    """All four MGM orientations in one sheared scan (ref SGMAssist.h:930-947).
+
+    Each MGM pass averages the two causal neighbors (left and up in scan
+    orientation). Shearing rows (x' = x + y) puts both neighbors in sheared
+    column x'-1, turning the 2D recurrence into a column scan; the four
+    orientations are flipped copies batched on a leading axis."""
+    h, w, sy, sx = cost.shape
+    ww = w + h
+    cb = jnp.stack([cost, jnp.flip(cost, 1), jnp.flip(cost, 0),
+                    jnp.flip(jnp.flip(cost, 0), 1)], 0)   # (4, H, W, sy, sx)
+    ib = jnp.stack([img, jnp.flip(img, 1), jnp.flip(img, 0),
+                    jnp.flip(jnp.flip(img, 0), 1)], 0)    # (4, H, W)
+
+    # Shear via gather: sheared[b, y, x'] = src[b, y, x'-y].
+    src_x = (jnp.arange(ww)[None, :] - jnp.arange(h)[:, None])   # (H, WW)
+    inside = (src_x >= 0) & (src_x < w)
+    xc = jnp.clip(src_x, 0, w - 1)
+    cs = jnp.take_along_axis(cb, xc[None, :, :, None, None], axis=2)
+    imgs = jnp.take_along_axis(ib, xc[None, :, :], axis=2)       # (4, H, WW)
+
+    prev_left = jnp.pad(imgs, ((0, 0), (0, 0), (1, 0)), mode="edge")[..., :-1]
+    prev_up = jnp.pad(prev_left, ((0, 0), (1, 0), (0, 0)), mode="edge")[:, :-1]
     pd_left = jnp.abs(imgs - prev_left)
     pd_up = jnp.abs(imgs - prev_up)
 
-    cT = jnp.moveaxis(cs, 1, 0)
-    plT = jnp.moveaxis(pd_left, 1, 0)
-    puT = jnp.moveaxis(pd_up, 1, 0)
-    inT = jnp.moveaxis(inside, 1, 0)
+    cT = jnp.transpose(cs, (2, 0, 3, 4, 1))       # (WW, 4, sy, sx, H)
+    plT = jnp.transpose(pd_left, (2, 0, 1))       # (WW, 4, H)
+    puT = jnp.transpose(pd_up, (2, 0, 1))
+    inT = jnp.transpose(inside, (1, 0))           # (WW, H)
 
     def step(carry, inp):
         cx, pl, pu, ins = inp
-        up_prior = jnp.concatenate([jnp.full((1, sy, sx), _BIG), carry[:-1]], 0)
-        a = _path_update(carry, cx, pl, p1, p2, sy, sx)
-        b = _path_update(up_prior, cx, pu, p1, p2, sy, sx)
+        up_prior = _shift_lane(carry, 1)
+        a = _path_update(carry, cx, pl, p1, p2)
+        b = _path_update(up_prior, cx, pu, p1, p2)
         both = 0.5 * (a + b)
         # If only one neighbor is inside the image, its term stands alone;
         # path_update already degrades to local cost when the prior is BIG.
-        out = jnp.where(ins[:, None, None], both, cx)
+        out = jnp.where(ins[None, None, None, :], both, cx)
         return out, out
 
-    init = cT[0]
-    _, rest = lax.scan(step, init, (cT[1:], plT[1:], puT[1:], inT[1:]))
-    out_s = jnp.concatenate([init[None], rest], 0)
-    out_s = jnp.moveaxis(out_s, 0, 1)   # (H, W+H, sy, sx)
-    # Un-shear.
-    rows = [out_s[y, y:y + w] for y in range(h)]
-    out = jnp.stack(rows, 0)
-    if flip_y:
-        out = jnp.flip(out, 0)
-    if flip_x:
-        out = jnp.flip(out, 1)
-    return out
+    init = jnp.full((4, sy, sx, h), _BIG)
+    _, ys = lax.scan(step, init, (cT, plT, puT, inT))
+    out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (4, H, WW, sy, sx)
+    # Un-shear: out[b, y, x] = out_s[b, y, x+y].
+    dst_x = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
+    out = jnp.take_along_axis(out_s, dst_x[None, :, :, None, None], axis=2)
+    return (out[0] + jnp.flip(out[1], 1) + jnp.flip(out[2], 0) +
+            jnp.flip(jnp.flip(out[3], 0), 1))
 
 
 def _subpixel_1d(sm1, s0, sp1, mode: str):
@@ -226,45 +258,18 @@ def _subpixel_1d(sm1, s0, sp1, mode: str):
     return jnp.clip(off, -0.95, 0.95)
 
 
-@functools.partial(jax.jit, static_argnames=("sx", "sy", "window", "ternary",
-                                             "thresh", "use_mgm", "subpixel",
-                                             "p1", "p2"))
-def _sgm_core(left_u8, right_u8, sx: int, sy: int, window: int, ternary: bool,
-              thresh: int, p1: float, p2: float, use_mgm: bool, subpixel: str):
-    h, w = left_u8.shape
-    cost = _census_cost_volume(left_u8, right_u8, sx, sy, window, ternary, thresh)
-    img = left_u8.astype(jnp.float32)
-    if use_mgm:
-        acc = (_mgm_pass(cost, img, False, False, p1, p2) +
-               _mgm_pass(cost, img, True, False, p1, p2) +
-               _mgm_pass(cost, img, False, True, p1, p2) +
-               _mgm_pass(cost, img, True, True, p1, p2))
-    else:
-        acc = (_scan_cols(cost, img, 1, 0, p1, p2) +
-               _scan_cols(cost, img, -1, 0, p1, p2))
-        # vertical: transpose so the scan axis is x
-        costT = jnp.swapaxes(cost, 0, 1)
-        imgT = img.T
-        accT = (_scan_cols(costT, imgT, 1, 0, p1, p2) +
-                _scan_cols(costT, imgT, -1, 0, p1, p2))
-        acc = acc + jnp.swapaxes(accT, 0, 1)
-        # diagonals
-        acc = acc + (_scan_cols(cost, img, 1, 1, p1, p2) +
-                     _scan_cols(cost, img, 1, -1, p1, p2) +
-                     _scan_cols(cost, img, -1, 1, p1, p2) +
-                     _scan_cols(cost, img, -1, -1, p1, p2))
-
+def _volume_argmin_subpixel(acc, subpixel: str):
+    """WTA argmin over the aggregated volume (H, W, sy, sx) + optional 1D
+    subpixel fits along dx and dy (ref ``SgmSubpixelMode`` handling)."""
+    h, w, sy, sx = acc.shape
     flat = acc.reshape(h, w, sy * sx)
     best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
     dx = best % sx
     dy = best // sx
     disp = jnp.stack([dx, dy], -1)
-
     if subpixel == "none":
-        return disp.astype(jnp.float32), jnp.ones((h, w), bool), flat
-    # 1D fits along dx and dy of the aggregated volume.
-    vol = acc  # (H, W, sy, sx)
-    padded = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+        return disp.astype(jnp.float32), flat
+    padded = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     s0 = padded[yy, xx, dy + 1, dx + 1]
@@ -276,8 +281,84 @@ def _sgm_core(left_u8, right_u8, sx: int, sy: int, window: int, ternary: bool,
                       _subpixel_1d(sxm, s0, sxp, subpixel), 0.0)
     off_y = jnp.where((dy > 0) & (dy < sy - 1),
                       _subpixel_1d(sym, s0, syp, subpixel), 0.0)
-    fdisp = disp.astype(jnp.float32) + jnp.stack([off_x, off_y], -1)
+    return disp.astype(jnp.float32) + jnp.stack([off_x, off_y], -1), flat
+
+
+@functools.partial(jax.jit, static_argnames=("sx", "sy", "window", "ternary",
+                                             "thresh", "use_mgm", "subpixel",
+                                             "p1", "p2"))
+def _sgm_core(left_u8, right_u8, sx: int, sy: int, window: int, ternary: bool,
+              thresh: int, p1: float, p2: float, use_mgm: bool, subpixel: str):
+    h, w = left_u8.shape
+    cost = _census_cost_volume(left_u8, right_u8, sx, sy, window, ternary, thresh)
+    img = left_u8.astype(jnp.float32)
+    if use_mgm:
+        acc = _mgm_aggregate(cost, img, p1, p2)
+    else:
+        acc = _sgm_aggregate(cost, img, p1, p2)
+    fdisp, flat = _volume_argmin_subpixel(acc, subpixel)
     return fdisp, jnp.ones((h, w), bool), flat
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "rx", "ry", "window",
+                                             "ternary", "thresh", "p1", "p2",
+                                             "use_mgm", "subpixel"))
+def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
+                        window: int, ternary: bool, thresh: int,
+                        p1: float, p2: float, use_mgm: bool, subpixel: str):
+    """Pyramid-level SGM: per-tile base offsets + a static relative window.
+
+    The reference seeds per-pixel disparity bounds from the previous pyramid
+    level (``m_disp_bound_image``, SGM.h:180-198, CorrelationView.cc SGM
+    branch). The static-shape equivalent: census costs are gathered at
+    ``base(tile) + (0..ry) x (0..rx)`` and the whole level aggregates in one
+    pass over the relative volume (disparity axes stay absolutely aligned
+    within each tile; tiles track the coarse solution like the zone ranges).
+
+    ``lbase`` ((nty*tile + window - 1), (ntx*tile + window - 1)): level crop
+    with census-half margins baked in; ``mbase``: match frame with the same
+    origin and the level's full (search-1) extra extent; ``offsets``
+    (nty, ntx, 2) int32 absolute (dx, dy) base per tile, pre-clamped to keep
+    ``base + rel`` inside ``mbase``. Returns (disp (H, W, 2) float32,
+    absolute in the level frame; valid (H, W) bool).
+    """
+    nty, ntx = offsets.shape[0], offsets.shape[1]
+    out_h, out_w = nty * tile, ntx * tile
+    cw2 = window // 2
+    # One shared monotone quantization: census codes are invariant to it, but
+    # L and R must agree, and pdiff (P2 adaptation) uses the same scale.
+    lo = jnp.minimum(jnp.min(lbase), jnp.min(mbase))
+    hi = jnp.maximum(jnp.max(lbase), jnp.max(mbase))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-9)
+    lq = jnp.clip((lbase - lo) * scale, 0, 255).astype(jnp.int32)
+    mq = jnp.clip((mbase - lo) * scale, 0, 255).astype(jnp.int32)
+    if ternary:
+        lc = ternary_census_transform(lq, window, thresh)
+        rc = ternary_census_transform(mq, window, thresh)
+    else:
+        lc = census_transform(lq, window)
+        rc = census_transform(mq, window)
+    lc = lc[cw2:cw2 + out_h, cw2:cw2 + out_w]
+    img = lq[cw2:cw2 + out_h, cw2:cw2 + out_w].astype(jnp.float32)
+
+    base = jnp.repeat(jnp.repeat(offsets, tile, 0), tile, 1)     # (H, W, 2)
+    yy = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) + cw2 + base[..., 1]
+    xx = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) + cw2 + base[..., 0]
+    rows = []
+    for j in range(ry):
+        row = []
+        for i in range(rx):
+            code = rc[yy + j, xx + i]                            # (H, W, nw)
+            row.append(hamming_distance(lc, code).astype(jnp.float32))
+        rows.append(jnp.stack(row, -1))
+    cost = jnp.stack(rows, -2)                                   # (H, W, ry, rx)
+
+    if use_mgm:
+        acc = _mgm_aggregate(cost, img, p1, p2)
+    else:
+        acc = _sgm_aggregate(cost, img, p1, p2)
+    rel, _ = _volume_argmin_subpixel(acc, subpixel)
+    return rel + base.astype(jnp.float32), jnp.ones((out_h, out_w), bool)
 
 
 def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,

@@ -97,32 +97,9 @@ def main(argv=None) -> int:
                                      (left.shape[0], left.shape[1])))
 
     search = BBox2i(args.xoffset, args.yoffset, args.xrange, args.yrange)
-    if args.use_sgm or args.use_mgm:
-        from visionworkbench_tpu.image.edge import crop_extended
-        from visionworkbench_tpu.stereo import calc_disparity_sgm
-        h, w = left.shape
-        right_c = crop_extended(jnp.asarray(right), args.xoffset, args.yoffset,
-                                w + args.xrange - 1, h + args.yrange - 1,
-                                mode="constant")
-        with Timer("correlation time"):
-            dm = calc_disparity_sgm(
-                jnp.asarray(left), right_c, (args.xrange, args.yrange),
-                kernel_size=5,
-                cost_type=("census" if args.cost_mode not in
-                           ("census", "ternary_census") else args.cost_mode),
-                use_mgm=args.use_mgm,
-                subpixel="parabola" if args.subpixel != "none" else "none")
-            disp = np.asarray(dm.disparity) + [args.xoffset, args.yoffset]
-            valid = np.asarray(dm.valid)
-        out = np.concatenate([disp.astype(np.float32),
-                              valid[..., None].astype(np.float32)], axis=-1)
-        out_path = args.output_prefix + ".tif"
-        write_tiff(out_path, out, tile_size=256)
-        n_valid = int(valid.sum())
-        print(f"Wrote {out_path}: {disp.shape[1]}x{disp.shape[0]}, "
-              f"{n_valid} valid px ({100.0 * n_valid / valid.size:.1f}%)")
-        return 0
-
+    # SGM/MGM run inside the pyramid correlator, like the reference's
+    # stereo_algorithm switch (tools/correlate.cc:207-223, CorrelationView.h:45).
+    algo = "mgm" if args.use_mgm else ("sgm" if args.use_sgm else "bm")
     with Timer("correlation time"):
         dm = pyramid_correlate(
             jnp.asarray(left), jnp.asarray(right), search,
@@ -132,7 +109,8 @@ def main(argv=None) -> int:
             consistency_threshold=args.consistency_threshold,
             max_pyramid_levels=args.max_pyramid_levels,
             tile_size=args.tile_size, subpixel=args.subpixel,
-            blob_filter_area=args.blob_filter_area)
+            blob_filter_area=args.blob_filter_area,
+            stereo_algorithm=algo)
         disp = np.asarray(dm.disparity)
         valid = np.asarray(dm.valid)
 
