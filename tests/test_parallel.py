@@ -91,6 +91,38 @@ def test_sharded_pyramid_correlate_matches_whole(rng):
 
 
 @needs_devices
+def test_sharded_pyramid_sgm_recovers_shift(rng):
+    # SGM inside the sharded pyramid: per-band SGM truncates aggregation
+    # paths at band borders (the reference's per-tile prerasterize does the
+    # same), so the oracle is shift recovery + high whole-agreement, not
+    # bit-exactness.
+    h, w = 256, 64
+    shift = (4, 1)
+    sx, sy = 8, 3
+    ys, xs = np.mgrid[0:h + sy + 8, 0:w + sx + 8].astype(np.float32)
+    tex = (np.sin(xs * 0.33) * np.cos(ys * 0.27)
+           + 0.4 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = tex[shift[1]:shift[1] + h, shift[0]:shift[0] + w].copy()
+    left_j, right_j = jnp.asarray(left), jnp.asarray(right)
+    sr = BBox2i(-sx, -sy, 2 * sx, 2 * sy)
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=1, tile_size=16,
+                  stereo_algorithm="sgm", subpixel="none")
+    whole = pyramid_correlate(left_j, right_j, sr, **kwargs)
+    mesh = make_tile_mesh(8)
+    sharded = sharded_pyramid_correlate(left_j, right_j, sr, mesh, **kwargs)
+    wd, wv = np.asarray(whole.disparity), np.asarray(whole.valid)
+    sd, sv = np.asarray(sharded.disparity), np.asarray(sharded.valid)
+    core = np.s_[12:-12, 12:-12]
+    correct = ((sd[core][..., 0] == -shift[0]) &
+               (sd[core][..., 1] == -shift[1]))[sv[core]]
+    assert correct.mean() > 0.9, f"fraction correct {correct.mean()}"
+    both = wv[core] & sv[core]
+    agree = (wd[core] == sd[core]).all(axis=-1)[both]
+    assert agree.mean() > 0.97, f"shard/whole agreement {agree.mean()}"
+
+
+@needs_devices
 def test_sharded_pyramid_multilevel_matches_whole(rng):
     # Multi-level path: the collar must cover the full coarse-to-fine
     # receptive field (tile-rounded for refine-grid alignment).

@@ -107,6 +107,26 @@ def test_pyramid_sgm_known_shift(rng, algo):
     assert disp.dtype == np.float32
 
 
+def test_sgm_memory_limit_banding(rng):
+    # Forcing a tiny memory budget must band the frame and still recover the
+    # shift; band interiors should match the single-shot result.
+    shift = (3, 1)
+    left, right = _pair(rng, h=64, w=48, shift=shift, search=(6, 3))
+    whole = calc_disparity_sgm(left, right, (6, 3), kernel_size=5,
+                               subpixel="none")
+    banded = calc_disparity_sgm(left, right, (6, 3), kernel_size=5,
+                                subpixel="none", memory_limit_mb=1,
+                                band_overlap=12)
+    wd = np.asarray(whole.disparity)
+    bd = np.asarray(banded.disparity)
+    core = np.s_[6:-6, 6:-6]
+    agree = (wd[core] == bd[core]).all(axis=-1)
+    assert agree.mean() > 0.97, f"band/whole agreement {agree.mean()}"
+    correct = ((bd[core][..., 0] == shift[0]) &
+               (bd[core][..., 1] == shift[1]))
+    assert correct.mean() > 0.95
+
+
 def test_sgm_bad_args():
     import jax.numpy as jnp
     from visionworkbench_tpu.core.exceptions import ArgumentErr

@@ -150,6 +150,34 @@ def _tile_offsets(prior_disp, prior_valid, tile: int, expand: int,
     return jnp.stack([off_x, off_y], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "buffer",
+                                             "max_off_x", "max_off_y"))
+def _tile_offsets_centered(prior_disp, prior_valid, tile: int, buffer: int,
+                           max_off_x: int, max_off_y: int):
+    """Per-tile search offsets centered on the tile median of the previous
+    level's disparity — the static-shape stand-in for the reference SGM's
+    per-pixel ``prev_disparity +- search_buffer`` bounds (SGM.cc:405-420).
+    The median (vs the BM path's min) keeps the narrow ``2*buffer+1`` window
+    centered on the dominant tile disparity."""
+    h, w = prior_valid.shape
+    nty, ntx = h // tile, w // tile
+    disp = prior_disp.astype(jnp.float32)
+    masked = jnp.where(prior_valid[..., None], disp, jnp.nan)
+    t4 = (masked.reshape(nty, tile, ntx, tile, 2)
+          .transpose(0, 2, 1, 3, 4).reshape(nty, ntx, tile * tile, 2))
+    med = jnp.nanmedian(t4, axis=2)                      # (nty, ntx, 2)
+    has_valid = jnp.any(prior_valid.reshape(nty, tile, ntx, tile),
+                        axis=(1, 3))
+    gmed = jnp.nanmedian(masked.reshape(-1, 2), axis=0)
+    gmed = jnp.nan_to_num(gmed, nan=0.0)
+    med = jnp.where(has_valid[..., None], jnp.nan_to_num(med, nan=0.0),
+                    gmed[None, None, :])
+    off = jnp.round(med).astype(jnp.int32) - buffer
+    off_x = jnp.clip(off[..., 0], 0, max_off_x)
+    off_y = jnp.clip(off[..., 1], 0, max_off_y)
+    return jnp.stack([off_x, off_y], axis=-1)
+
+
 class PyramidCorrResult(NamedTuple):
     disparity: DisparityMap          # absolute disparities, left-image frame
     level_disparities: Optional[list]
@@ -171,6 +199,7 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       blob_filter_area: int = 0,
                       engine: str = "auto",
                       stereo_algorithm: str = "bm",
+                      sgm_search_buffer: int = 2,
                       keep_levels: bool = False) -> DisparityMap:
     """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
     CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
@@ -337,10 +366,21 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             py, px = nty * t - out_h, ntx * t - out_w
             pr_d = jnp.pad(pr_d, ((0, py), (0, px), (0, 0)))
             pr_v = jnp.pad(pr_v, ((0, py), (0, px)))
-            s_x_eff = min(int(refine_window), s_w_l)
-            s_y_eff = min(int(refine_window), s_h_l)
-            offsets = _tile_offsets(pr_d, pr_v, t, 2,
-                                    s_w_l - s_x_eff, s_h_l - s_y_eff)
+            # SGM refines +-sgm_search_buffer around the seed (ref SGM.h:113,
+            # default Vector2i(2,2)); BM uses the wider refine window.
+            if sgm_mode:
+                rw = 2 * int(sgm_search_buffer) + 1
+                s_x_eff = min(rw, s_w_l)
+                s_y_eff = min(rw, s_h_l)
+                offsets = _tile_offsets_centered(pr_d, pr_v, t,
+                                                 int(sgm_search_buffer),
+                                                 s_w_l - s_x_eff,
+                                                 s_h_l - s_y_eff)
+            else:
+                s_x_eff = min(int(refine_window), s_w_l)
+                s_y_eff = min(int(refine_window), s_h_l)
+                offsets = _tile_offsets(pr_d, pr_v, t, 2,
+                                        s_w_l - s_x_eff, s_h_l - s_y_eff)
 
         # Base (left) frame for tile extraction: tiles at (ty*t, tx*t) must
         # read left_pyr[level] starting at the unpadded region minus half the

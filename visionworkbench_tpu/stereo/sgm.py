@@ -134,30 +134,40 @@ def _shift_img(img, dy: int, dx: int):
     return out
 
 
-def _scan_dir(cost_t, pdiffs, shifts, p1: float, p2: float, reverse: bool):
-    """One batched directional scan.
+def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
+    """Both scan directions in ONE ``lax.scan``: step t updates column t of
+    the forward paths and column N-1-t of the reverse paths (independent
+    recurrences, merged because the per-step tensors are small enough that
+    scans here are overhead-bound, not FLOP-bound).
 
     ``cost_t`` (N, sy, sx, L): N scan steps of a line-x-disparity plane;
-    ``pdiffs`` (N, B, L): per-direction path gradients; ``shifts``: lane
-    shift of the carry per direction (0 = straight, +-1 = diagonal).
-    Returns the per-step SUM over the B directions, (N, sy, sx, L)."""
-    _, sy, sx, nl = cost_t.shape
+    ``pdiffs_f``/``pdiffs_r`` (N, B, L): per-direction path gradients at
+    original positions for the forward / reverse direction groups;
+    ``shifts``: lane shift of the carry per direction (0 = straight,
+    +-1 = diagonal). Returns the per-step SUM over the B directions of both
+    groups, (N, sy, sx, L)."""
+    n, sy, sx, nl = cost_t.shape
     b = len(shifts)
+    xs_c = jnp.stack([cost_t, jnp.flip(cost_t, 0)], 1)      # (N, 2, sy, sx, L)
+    xs_p = jnp.stack([pdiffs_f, jnp.flip(pdiffs_r, 0)], 1)  # (N, 2, B, L)
 
     def step(carry, inp):
         cx, px = inp
-        prior = jnp.stack([_shift_lane(carry[i], s)
-                           for i, s in enumerate(shifts)], 0)
-        out = _path_update(prior, cx[None], px, p1, p2)
-        return out, jnp.sum(out, 0)
+        prior = jnp.stack([_shift_lane(carry[:, i], s)
+                           for i, s in enumerate(shifts)], 1)
+        out = _path_update(prior, cx[:, None], px, p1, p2)  # (2, B, sy, sx, L)
+        return out, jnp.sum(out, 1)
 
-    init = jnp.full((b, sy, sx, nl), _BIG)
-    _, ys = lax.scan(step, init, (cost_t, pdiffs), reverse=reverse)
-    return ys
+    # Derive init from the (possibly shard_map-varying) input so the scan
+    # carry's varying manual axes match the body output's.
+    init = jnp.broadcast_to(cost_t[0] * 0 + _BIG, (2, b, sy, sx, nl))
+    _, ys = lax.scan(step, init, (xs_c, xs_p))
+    return ys[:, 0] + jnp.flip(ys[:, 1], 0)                 # (N, sy, sx, L)
 
 
 def _sgm_aggregate(cost, img, p1: float, p2: float):
-    """8-path SGM aggregation as four batched scans. cost (H, W, sy, sx)."""
+    """8-path SGM aggregation as two bidirectional batched scans.
+    cost (H, W, sy, sx)."""
     h, w, sy, sx = cost.shape
     cost_tx = jnp.transpose(cost, (1, 2, 3, 0))     # (W, sy, sx, H)
 
@@ -167,15 +177,13 @@ def _sgm_aggregate(cost, img, p1: float, p2: float):
                         for dy in (0, 1, -1)], 0)   # (3, H, W)
         return jnp.transpose(pd, (2, 0, 1))
 
-    acc_x = (_scan_dir(cost_tx, pdx(1), (0, 1, -1), p1, p2, False) +
-             _scan_dir(cost_tx, pdx(-1), (0, 1, -1), p1, p2, True))
+    acc_x = _scan_bidir(cost_tx, pdx(1), pdx(-1), (0, 1, -1), p1, p2)
     del cost_tx
 
     cost_ty = jnp.transpose(cost, (0, 2, 3, 1))     # (H, sy, sx, W)
     pd_d = jnp.abs(img - _shift_img(img, 1, 0))[:, None, :]    # (H, 1, W)
     pd_u = jnp.abs(img - _shift_img(img, -1, 0))[:, None, :]
-    acc_y = (_scan_dir(cost_ty, pd_d, (0,), p1, p2, False) +
-             _scan_dir(cost_ty, pd_u, (0,), p1, p2, True))
+    acc_y = _scan_bidir(cost_ty, pd_d, pd_u, (0,), p1, p2)
     return (jnp.transpose(acc_x, (3, 0, 1, 2)) +
             jnp.transpose(acc_y, (0, 3, 1, 2)))     # (H, W, sy, sx)
 
@@ -222,7 +230,7 @@ def _mgm_aggregate(cost, img, p1: float, p2: float):
         out = jnp.where(ins[None, None, None, :], both, cx)
         return out, out
 
-    init = jnp.full((4, sy, sx, h), _BIG)
+    init = jnp.broadcast_to(cT[0] * 0 + _BIG, (4, sy, sx, h))
     _, ys = lax.scan(step, init, (cT, plT, puT, inT))
     out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (4, H, WW, sy, sx)
     # Un-shear: out[b, y, x] = out_s[b, y, x+y].
@@ -366,11 +374,19 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
                        subpixel: str = "parabola",
                        p1: Optional[float] = None, p2: Optional[float] = None,
                        ternary_census_threshold: int = 2,
-                       left_mask=None, right_mask=None) -> DisparityMap:
+                       left_mask=None, right_mask=None,
+                       memory_limit_mb: int = 6000,
+                       band_overlap: int = 32) -> DisparityMap:
     """SGM/MGM disparity (ref ``calc_disparity_sgm``, SGM.cc:167-229).
 
     ``left``: (H, W) f32 in [0, 1]; ``right``: (H+sy-1, W+sx-1). Returns
     float disparities (subpixel) in [0, sx) x [0, sy), left-image frame.
+
+    ``memory_limit_mb`` bounds the on-device working set like the
+    reference's ``m_memory_limit_mb`` (SGM.h:167): when the aggregation
+    volume would exceed it, the frame is processed in horizontal bands with
+    ``band_overlap`` rows of context (the vertical aggregation paths truncate
+    at band seams — the reference's per-tile rasterization does the same).
     """
     sx, sy = int(search_volume[0]), int(search_volume[1])
     if sx < 1 or sy < 1:
@@ -391,9 +407,37 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
                           f"{(h + sy - 1, w + sx - 1)}, got {right.shape}")
     lq = jnp.clip(left * 255.0, 0, 255).astype(jnp.int32)
     rq = jnp.clip(right * 255.0, 0, 255).astype(jnp.int32)
-    disp, valid, _ = _sgm_core(lq, rq, sx, sy, int(kernel_size), ternary,
-                               int(ternary_census_threshold), p1v, p2v,
-                               bool(use_mgm), subpixel)
+
+    # Working-set estimate: the dominant live tensors are the cost volume,
+    # its per-scan transposed copy, the scan output, and the accumulator —
+    # ~4x the (H, W, sy, sx) volume in f32 (MGM shears to ~2x width).
+    vol_mb = h * w * sy * sx * 4 * (8 if use_mgm else 4) / 1e6
+    n_bands = max(1, -(-int(vol_mb) // max(int(memory_limit_mb), 1)))
+    if n_bands == 1:
+        disp, valid, _ = _sgm_core(lq, rq, sx, sy, int(kernel_size), ternary,
+                                   int(ternary_census_threshold), p1v, p2v,
+                                   bool(use_mgm), subpixel)
+    else:
+        ov = int(band_overlap)
+        bh = -(-h // n_bands)
+        # Uniform band shapes (one compile): edge-extend rows so every band
+        # reads bh + 2*ov left rows and the matching right extent.
+        pad_bot = n_bands * bh - h
+        lq_e = jnp.pad(lq, ((ov, pad_bot + ov), (0, 0)), mode="edge")
+        rq_e = jnp.pad(rq, ((ov, pad_bot + ov), (0, 0)), mode="edge")
+        parts = []
+        for b in range(n_bands):
+            y0 = b * bh
+            lb = lax.dynamic_slice(lq_e, (y0, 0), (bh + 2 * ov, w))
+            rb = lax.dynamic_slice(rq_e, (y0, 0),
+                                   (bh + 2 * ov + sy - 1, w + sx - 1))
+            d, _, _ = _sgm_core(lb, rb, sx, sy, int(kernel_size), ternary,
+                                int(ternary_census_threshold), p1v, p2v,
+                                bool(use_mgm), subpixel)
+            parts.append(d[ov:ov + bh])
+        disp = jnp.concatenate(parts, 0)[:h]
+        valid = jnp.ones((h, w), bool)
+
     if left_mask is not None:
         valid = valid & jnp.asarray(left_mask).astype(bool)
     disp = jnp.where(valid[..., None], disp, 0.0)
