@@ -33,8 +33,11 @@ def _make_pair(h, w):
     tex = (np.sin(xs * 0.21) * np.cos(ys * 0.17)
            + 0.5 * np.sin(xs * 0.047 + ys * 0.031)
            + 0.3 * rng.random(xs.shape)).astype(np.float32)
-    left = tex[:, :w]
-    right = tex[:, 16:16 + w]  # constant disparity +16, inside the search range
+    # left(p) == right(p + d) with d = +16 — inside the search range
+    # (convention: positive disparity = matching content shifted right in
+    # the right image, as in the reference and tests/test_pyramid_correlation).
+    left = tex[:, 16:16 + w]
+    right = tex[:, :w]
     return left, right
 
 
@@ -78,7 +81,7 @@ def main():
         print(json.dumps({"cpu_mps": _measure(CPU_H, CPU_W, 2)}))
         return
 
-    mps = _measure(H, W, 3)
+    mps = _measure(H, W, 8)
 
     # CPU reference-model baseline in a subprocess (forces the cpu platform).
     cpu_mps = None
