@@ -114,3 +114,26 @@ def test_parabola_keeps_integer_when_flat():
     valid = jnp.ones((12, 12), bool)
     refined = parabola_subpixel(DisparityMap(int_disp, valid), left, right, (5, 5))
     np.testing.assert_array_equal(np.asarray(refined.disparity), 1.0)
+
+
+@pytest.mark.parametrize("cost_type", [
+    ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE, CROSS_CORRELATION,
+    CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM,
+])
+def test_box_modes_identical_disparities(rng, cost_type):
+    """All box-sum formulations (reduce_window / cumsum-diff / banded MXU
+    matmuls / the row-matmul+col-cumsum hybrids) must produce identical
+    integer disparities — they differ only in fp32 summation order, which
+    must not flip any argmin on this harness."""
+    from visionworkbench_tpu.stereo.correlation import _auto_chunk, _best_of_search
+    left, right = _shifted_pair(rng, h=30, w=30, shift=(2, 1), search=(4, 4))
+    chunk = _auto_chunk(16, 30 * 30, cost_type)
+    outs = {}
+    for mode in ("rw", "cumsum", "mxu", "hybrid", "hybrid2"):
+        disp, valid, _ = _best_of_search(left, right, 4, 4, 7, 7, cost_type,
+                                         chunk=chunk, box_mode=mode)
+        outs[mode] = (np.asarray(disp), np.asarray(valid))
+    ref_d, ref_v = outs["rw"]
+    for mode, (d, v) in outs.items():
+        np.testing.assert_array_equal(d, ref_d, err_msg=f"box_mode={mode}")
+        np.testing.assert_array_equal(v, ref_v, err_msg=f"box_mode={mode}")

@@ -95,6 +95,29 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
     * ``"mxu"``    — banded 0/1 matmuls on the MXU (fp32 HIGHEST)
     """
     h, w = vol.shape[-2], vol.shape[-1]
+    if box_mode in ("hybrid", "hybrid2"):
+        # Mixed formulations: sublane (row) axis and lane (col) axis have
+        # different fast paths on TPU; measure end-to-end per workload.
+        oh, ow = h - kh + 1, w - kw + 1
+        if box_mode == "hybrid":   # rows via banded MXU matmul, cols cumsum
+            oi = lax.broadcasted_iota(jnp.int32, (oh, h), 0)
+            ii = lax.broadcasted_iota(jnp.int32, (oh, h), 1)
+            b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.float32)
+            out = jnp.einsum("oh,...hw->...ow", b_row, vol,
+                             precision=lax.Precision.HIGHEST)
+            c = jnp.cumsum(out, axis=-1)
+            zcol = jnp.zeros_like(c[..., :, :1])
+            cp = jnp.concatenate([zcol, c], axis=-1)
+            return cp[..., :, kw:] - cp[..., :, :-kw]
+        c = jnp.cumsum(vol, axis=-2)  # hybrid2: rows cumsum, cols matmul
+        zrow = jnp.zeros_like(c[..., :1, :])
+        cp = jnp.concatenate([zrow, c], axis=-2)
+        out = cp[..., kh:, :] - cp[..., :-kh, :]
+        oj = lax.broadcasted_iota(jnp.int32, (w, ow), 1)
+        jj = lax.broadcasted_iota(jnp.int32, (w, ow), 0)
+        b_col = ((jj >= oj) & (jj < oj + kw)).astype(jnp.float32)
+        return jnp.einsum("...ow,wp->...op", out, b_col,
+                          precision=lax.Precision.HIGHEST)
     if box_mode == "rw":
         ones = (1,) * (vol.ndim - 2)
         out = lax.reduce_window(vol, 0.0, lax.add, ones + (kh, 1),
@@ -126,11 +149,13 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
 
 
 # Experiment knobs (read once at import). End-to-end measured on v5e
-# (1024^2 pyramid bench, Mp/s): unroll+cumsum 4.07, scan+rw 3.61, unroll+rw
-# 3.50, unroll+mxu 3.79, scan+cumsum 3.70 — static-unroll + cumsum wins and
-# is the default. Disparities are bit-identical across modes on the CPU
+# (1024^2 pyramid bench, Mp/s, later rounds at iters=8 on a corrected pair):
+# scan+rw 3.61 < unroll+rw 3.50 < unroll+mxu 3.79 < unroll+cumsum 4.07; then
+# with the pyramid/gather fixes: cumsum 12.8 < hybrid2 15.8 < hybrid 16.6 —
+# rows (sublanes) via banded MXU matmul + cols (lanes) via cumsum-diff wins
+# and is the default. Disparities are bit-identical across modes on the CPU
 # parity harness (all 5 cost types).
-_BOX_MODE = os.environ.get("VWTPU_BOX_MODE", "cumsum")
+_BOX_MODE = os.environ.get("VWTPU_BOX_MODE", "hybrid")
 _UNROLL = os.environ.get("VWTPU_UNROLL", "1") == "1"
 
 
