@@ -7,6 +7,13 @@ numbers (BASELINE.md), so ``vs_baseline`` is measured in-run: the ratio of
 TPU throughput to this machine's CPU throughput on the identical pipeline —
 the CPU run standing in for the reference's multithreaded CPU execution model.
 
+Timing protocol: per-frame dispatch over distinct inputs, synchronized by a
+host readback of a digest that depends on every output pixel (the only real
+barrier on the axon relay), plus an untimed full-output correctness check.
+Digest (not full-map) readback keeps the test harness's ~310 MB/s relay
+tunnel — not the chip's d2h path — out of the measurement; set
+``VWTPU_BENCH_SHIP=1`` to include the full 9 MB/frame output transfer.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -58,13 +65,25 @@ def _measure(h, w, iters):
                                subpixel="parabola")
         return dm.disparity, dm.valid
 
-    fn = jax.jit(forward)
-    # Honest timing on remote-relay platforms (axon): block_until_ready does
-    # NOT synchronize there, so execution must be forced by a host readback.
-    # The chip runs queued programs serially, so timing `iters` executions on
-    # DISTINCT inputs (defeats any identical-call caching) with one final
-    # readback amortizes the relay transfer while still bounding all
-    # executions.
+    # Timed variant returns a digest that depends on every output pixel: the
+    # scalar readback forces ALL queued executions to complete (honest
+    # synchronization — on the axon relay `block_until_ready` does NOT
+    # synchronize, so a host readback is the only real barrier) while keeping
+    # the 9 MB/frame result out of the tunnel. The relay ships every call's
+    # outputs through a ~310 MB/s test tunnel (~29 ms/frame measured) that is
+    # not the chip's d2h path — a production host drains results at PCIe
+    # rates overlapped with compute. Set VWTPU_BENCH_SHIP=1 to time with the
+    # full per-frame output transfer included.
+    ship = os.environ.get("VWTPU_BENCH_SHIP") == "1"
+
+    def forward_digest(l, r):
+        d, v = forward(l, r)
+        return jnp.sum(d), jnp.sum(v)
+
+    fn = jax.jit(forward if ship else forward_digest)
+    fn_full = jax.jit(forward)
+    # Time `iters` executions on DISTINCT inputs (defeats any identical-call
+    # caching) with one final readback bounding the whole queue.
     lefts = [jnp.asarray(left_np + np.float32(i) * 1e-6) for i in range(iters + 1)]
     out = fn(lefts[0], right)
     _ = np.asarray(out[0])         # compile + warm with a real barrier
@@ -73,6 +92,20 @@ def _measure(h, w, iters):
         out = fn(lefts[i], right)
     _ = np.asarray(out[0])         # forces the whole queue
     dt = (time.perf_counter() - t0) / iters
+    # Sanity (untimed): the full pipeline must produce a dense, correct
+    # disparity field — guards against benchmarking a degenerate program.
+    # Skipped in the CPU-baseline subprocess (a second multi-minute CPU
+    # compile of the same program proves nothing).
+    if os.environ.get("VWTPU_BENCH_CPU"):
+        return (h * w) / dt / 1e6
+    dfull, vfull = fn_full(lefts[0], right)
+    dx = np.asarray(dfull)[..., 0]
+    vv = np.asarray(vfull)
+    core = np.s_[32:-32, 32:-32]
+    frac = (np.abs(dx[core] - 16.0) < 0.5)[vv[core]].mean() if vv[core].any() else 0.0
+    if vv[core].mean() < 0.5 or frac < 0.9:
+        raise SystemExit(f"bench sanity failed: valid={vv[core].mean():.3f} "
+                         f"correct={frac:.3f}")
     return (h * w) / dt / 1e6  # Mp/s
 
 
@@ -89,7 +122,7 @@ def main():
         env = dict(os.environ, VWTPU_BENCH_CPU="1", JAX_PLATFORMS="cpu")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
-                             timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)))
+                             timeout=2400, cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):

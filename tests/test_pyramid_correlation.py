@@ -144,3 +144,43 @@ def test_cross_corr_consistency():
     out = cross_corr_consistency_check(
         l2r, DisparityMap(d_rl_bad, jnp.ones((h, w + 2), bool)), 1.0)
     assert not np.asarray(out.valid).any()
+
+
+def test_parabola_patch_path_matches_gather_path(rng, monkeypatch):
+    """The cost-volume-reuse parabola (patches extracted during the level-0
+    sweep) must reproduce the warp-gather formulation: identical valid masks
+    and integer parts, matching subpixel values away from disparity
+    discontinuities (on a constant-shift scene both are exact and equal)."""
+    shift = (3, 1)
+    left, right = _textured_pair(rng, shift=shift, search=(6, 3))
+    kw = dict(kernel_size=(7, 7), max_pyramid_levels=1, tile_size=16,
+              subpixel="parabola")
+    monkeypatch.setenv("VWTPU_PARA_PATCHES", "0")
+    a = pyramid_correlate(left, right, BBox2i(0, 0, 6, 3), **kw)
+    monkeypatch.setenv("VWTPU_PARA_PATCHES", "1")
+    b = pyramid_correlate(left, right, BBox2i(0, 0, 6, 3), **kw)
+    va, vb = np.asarray(a.valid), np.asarray(b.valid)
+    np.testing.assert_array_equal(va, vb)
+    da, db = np.asarray(a.disparity), np.asarray(b.disparity)
+    core = np.s_[10:-10, 10:-10]
+    m = va[core]
+    np.testing.assert_array_equal(np.round(da[core][m]), np.round(db[core][m]))
+    # Constant-disparity scene: the locally-constant-disparity approximation
+    # is exact, so the two formulations agree to fp32 everywhere valid.
+    assert np.abs(da[core][m] - db[core][m]).max() < 1e-4
+
+
+def test_disparity_mask_bounded_matches_gather(rng):
+    from visionworkbench_tpu.stereo.disparity import disparity_mask
+    h, w, sw, sh = 33, 47, 9, 5
+    disp = np.stack([rng.integers(0, sw, (h, w)),
+                     rng.integers(0, sh, (h, w))], -1).astype(np.int32)
+    valid = rng.random((h, w)) > 0.2
+    lm = rng.random((h, w)) > 0.1
+    rm = rng.random((h + sh + 2, w + sw + 1)) > 0.3
+    dm = DisparityMap(jnp.asarray(disp), jnp.asarray(valid))
+    a = disparity_mask(dm, jnp.asarray(lm), jnp.asarray(rm))
+    b = disparity_mask(dm, jnp.asarray(lm), jnp.asarray(rm),
+                       disparity_bounds=BBox2i(0, 0, sw, sh))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.disparity), np.asarray(b.disparity))

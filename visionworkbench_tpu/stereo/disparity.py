@@ -29,19 +29,43 @@ def get_disparity_range(dm: DisparityMap) -> BBox2i:
     return BBox2i.from_bounds(int(mn[0]), int(mn[1]), int(mx[0]) + 1, int(mx[1]) + 1)
 
 
-def disparity_mask(dm: DisparityMap, left_mask, right_mask) -> DisparityMap:
+def disparity_mask(dm: DisparityMap, left_mask, right_mask,
+                   disparity_bounds: Optional[BBox2i] = None) -> DisparityMap:
     """Invalidate disparities whose left pixel is masked or whose right-image
-    target pixel is masked (ref ``disparity_mask``, DisparityMap.h:248)."""
+    target pixel is masked (ref ``disparity_mask``, DisparityMap.h:248).
+
+    ``disparity_bounds``: optional *static* max-exclusive box known to contain
+    every (integer) disparity. When given and small, the right-mask lookup is
+    evaluated as a fused select over statically-shifted mask slices instead of
+    a per-pixel gather — 1-Mpx mask gathers cost ~3-11 ms on this toolchain
+    while the select chain fuses into one elementwise pass."""
     h, w = dm.valid.shape
     rh, rw = right_mask.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    tx = xs + dm.disparity[..., 0].astype(jnp.int32)
-    ty = ys + dm.disparity[..., 1].astype(jnp.int32)
+    dxp = dm.disparity[..., 0].astype(jnp.int32)
+    dyp = dm.disparity[..., 1].astype(jnp.int32)
+    tx = xs + dxp
+    ty = ys + dyp
     in_bounds = (tx >= 0) & (tx < rw) & (ty >= 0) & (ty < rh)
-    txc = jnp.clip(tx, 0, rw - 1)
-    tyc = jnp.clip(ty, 0, rh - 1)
-    right_ok = jnp.where(in_bounds, right_mask[tyc, txc], False)
+    use_select = (
+        disparity_bounds is not None
+        and disparity_bounds.width * disparity_bounds.height <= 160
+        and disparity_bounds.min_y >= 0 and disparity_bounds.min_x >= 0
+        and disparity_bounds.max_y - 1 + h <= rh
+        and disparity_bounds.max_x - 1 + w <= rw)
+    if use_select:
+        right_ok = jnp.zeros((h, w), bool)
+        for sy in range(int(disparity_bounds.min_y), int(disparity_bounds.max_y)):
+            for sx in range(int(disparity_bounds.min_x), int(disparity_bounds.max_x)):
+                hit = (dyp == sy) & (dxp == sx)
+                shifted = jax.lax.slice(right_mask, (sy, sx), (sy + h, sx + w))
+                right_ok = right_ok | (hit & shifted)
+    else:
+        txc = jnp.clip(tx, 0, rw - 1)
+        tyc = jnp.clip(ty, 0, rh - 1)
+        right_ok = right_mask[tyc, txc]
+    right_ok = jnp.where(in_bounds, right_ok, False)
     valid = dm.valid & left_mask & right_ok
     return DisparityMap(jnp.where(valid[..., None], dm.disparity, 0), valid)
 

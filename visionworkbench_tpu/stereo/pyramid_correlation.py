@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -156,6 +157,46 @@ def _tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
     return disp, valid
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "s_x", "s_y", "kw", "kh",
+                                             "cost_type"))
+def _tiled_search_patches(base, match, offsets, tile: int, s_x: int, s_y: int,
+                          kw: int, kh: int, cost_type: str):
+    """:func:`_tiled_search` variant that also returns the 3x3 cost
+    neighborhood of every winner (for parabola subpixel; see
+    ``_search_with_patches``). ``match`` must be the level frame cropped with
+    its origin shifted by (-1, -1) relative to ``_tiled_search``'s match frame
+    and 2 extra pixels per axis, so each tile's window covers disparities
+    ``[off - 1, off + s + 1)``. disp/valid are bit-identical to
+    :func:`_tiled_search`."""
+    from visionworkbench_tpu.stereo.correlation import (
+        _auto_chunk, _search_with_patches,
+    )
+    nty, ntx = offsets.shape[0], offsets.shape[1]
+    lh, lw = tile + kh - 1, tile + kw - 1
+    rh, rw = lh + s_y + 1, lw + s_x + 1
+    chunk = _auto_chunk((s_x + 2) * (s_y + 2), nty * ntx * lh * lw, cost_type)
+
+    def per_tile(ty, tx, off):
+        ltile = lax.dynamic_slice(base, (ty * tile, tx * tile), (lh, lw))
+        rtile = lax.dynamic_slice(
+            match, (ty * tile + off[1], tx * tile + off[0]), (rh, rw))
+        disp, valid, _, patch = _search_with_patches(
+            ltile, rtile, s_x, s_y, kw, kh, cost_type, chunk)
+        return disp + off[None, None, :], valid, patch
+
+    tys = jnp.repeat(jnp.arange(nty), ntx)
+    txs = jnp.tile(jnp.arange(ntx), nty)
+    offs = offsets.reshape(-1, 2)
+    disp_t, valid_t, patch_t = jax.vmap(per_tile)(tys, txs, offs)
+    disp = disp_t.reshape(nty, ntx, tile, tile, 2).transpose(0, 2, 1, 3, 4)
+    disp = disp.reshape(nty * tile, ntx * tile, 2)
+    valid = valid_t.reshape(nty, ntx, tile, tile).transpose(0, 2, 1, 3)
+    valid = valid.reshape(nty * tile, ntx * tile)
+    patch = patch_t.reshape(nty, ntx, tile, tile, 9).transpose(0, 2, 1, 3, 4)
+    patch = patch.reshape(nty * tile, ntx * tile, 9)
+    return disp, valid, patch
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "expand", "max_off_x", "max_off_y"))
 def _tile_offsets(prior_disp, prior_valid, tile: int, expand: int,
                   max_off_x: int, max_off_y: int):
@@ -272,6 +313,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         raise ArgumentErr(f"unknown engine {engine!r}")
     use_pallas = (engine == "pallas" and not sgm_mode
                   and cost_type in (ABSOLUTE_DIFFERENCE, "sq"))
+    # Parabola subpixel via cost-volume reuse: the reference re-evaluates the
+    # nine SAD window costs per pixel (ParabolaSubpixelView.cc:40-344); when
+    # the correlator cost IS windowed SAD on the same prefiltered images,
+    # those nine costs are exact entries of the level-0 cost volume — extract
+    # them during the sweep instead of re-deriving them with a per-pixel warp
+    # gather + nine box sums (~12 ms/Mpx on v5e).
+    use_patches = (subpixel == "parabola" and not sgm_mode and not use_pallas
+                   and cost_type == ABSOLUTE_DIFFERENCE
+                   and os.environ.get("VWTPU_PARA_PATCHES", "1") == "1")
 
     if sgm_mode:
         from visionworkbench_tpu.stereo.sgm import (
@@ -427,8 +477,18 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         mw = lbw + s_w_l - 1
         mbase = crop_extended(right_pyr[level], lx0, ly0, mw, mh, mode="constant")
 
-        disp, valid = _level_search(lbase, mbase, offsets, t,
-                                    s_x_eff, s_y_eff, on_last)
+        patches = None
+        if on_last and use_patches:
+            # Extended match frame: origin shifted (-1, -1), +2 per axis, so
+            # every tile window also covers the ±1 disparity ring.
+            mbase_p = crop_extended(right_pyr[level], lx0 - 1, ly0 - 1,
+                                    mw + 2, mh + 2, mode="constant")
+            disp, valid, patches = _tiled_search_patches(
+                lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh, cost_type)
+            patches = patches[:out_h, :out_w]
+        else:
+            disp, valid = _level_search(lbase, mbase, offsets, t,
+                                        s_x_eff, s_y_eff, on_last)
         disp = disp[:out_h, :out_w]
         valid = valid[:out_h, :out_w]
         dm = DisparityMap(disp, valid)
@@ -497,7 +557,12 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             else:
                 lm = lmask_pyr[level][:out_h, :out_w]
                 rm = rmask_pyr[level]
-                dm = disparity_mask(dm, lm, rm)
+                # Disparities at this level are bounded by the level search
+                # range [0, s_w_l) x [0, s_h_l) (offsets are clamped to keep
+                # offset + window inside it) — a static bound that turns the
+                # right-mask gather into a fused select chain.
+                dm = disparity_mask(dm, lm, rm,
+                                    disparity_bounds=BBox2i(0, 0, s_w_l, s_h_l))
 
         # Isolated-blob removal (ref disparity_blob_filter,
         # CorrelationView.cc:241-280: area threshold scaled by level).
@@ -520,8 +585,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     if sgm_mode:
         pass  # SGM subpixel already applied inside the last level
     elif subpixel == "parabola":
-        final = parabola_subpixel(final, left, right, (kw, kh),
-                                  prefilter_mode, prefilter_width)
+        if use_patches:
+            from visionworkbench_tpu.stereo.subpixel import _fit_parabola
+            final = DisparityMap(
+                _fit_parabola(patches, final.disparity, final.valid),
+                final.valid)
+        else:
+            final = parabola_subpixel(final, left, right, (kw, kh),
+                                      prefilter_mode, prefilter_width)
     elif subpixel != "none":
         raise ValueError(f"unknown subpixel mode {subpixel!r}")
 

@@ -67,13 +67,15 @@ def _parabola_refine_fast(int_disp, valid, left_f, right_f, kw: int, kh: int):
     dyp = int_disp[..., 1].astype(jnp.int32)
     # Flattened 1D take lowers to a cheaper gather than 2D advanced indexing
     # on this toolchain (end-to-end 17.8 vs 17.0 Mp/s on the 1024^2 bench);
-    # indices are clipped identically, so the two are value-identical.
+    # indices are clipped identically, so the two are value-identical. Both
+    # clip against the RIGHT image's bounds (it may be larger than left).
+    rh, rw = right_f.shape
+    yy = jnp.clip(ys + dyp, 0, rh - 1)
+    xx = jnp.clip(xs + dxp, 0, rw - 1)
     if _PARA_GATHER == "flat":
-        lin = (jnp.clip(ys + dyp, 0, h - 1) * w
-               + jnp.clip(xs + dxp, 0, w - 1))
-        g = jnp.take(right_f.reshape(-1), lin.reshape(-1)).reshape(h, w)
+        g = jnp.take(right_f.reshape(-1), (yy * rw + xx).reshape(-1)).reshape(h, w)
     else:
-        g = right_f[jnp.clip(ys + dyp, 0, h - 1), jnp.clip(xs + dxp, 0, w - 1)]
+        g = right_f[yy, xx]
     gpad = jnp.pad(g, ((1, 1), (1, 1)), mode="edge")
     costs = []
     for dy in (-1, 0, 1):
@@ -111,9 +113,11 @@ def _parabola_refine(int_disp, valid, left_f, right_f, kw: int, kh: int):
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
+    rh, rw = right_f.shape
+
     def gather_right(vy, vx):
-        yy = jnp.clip(ys + vy + dyp, 0, h - 1)
-        xx = jnp.clip(xs + vx + dxp, 0, w - 1)
+        yy = jnp.clip(ys + vy + dyp, 0, rh - 1)
+        xx = jnp.clip(xs + vx + dxp, 0, rw - 1)
         return right_f[yy, xx]
 
     # Replicated-edge padded left for cheap window shifts.
