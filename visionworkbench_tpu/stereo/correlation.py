@@ -150,13 +150,16 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
 
 
 # Experiment knobs (read once at import). End-to-end measured on v5e
-# (1024^2 pyramid bench, Mp/s, later rounds at iters=8 on a corrected pair):
-# scan+rw 3.61 < unroll+rw 3.50 < unroll+mxu 3.79 < unroll+cumsum 4.07; then
-# with the pyramid/gather fixes: cumsum 12.8 < hybrid2 15.8 < hybrid 16.6 —
-# rows (sublanes) via banded MXU matmul + cols (lanes) via cumsum-diff wins
-# and is the default. Disparities are bit-identical across modes on the CPU
-# parity harness (all 5 cost types).
-_BOX_MODE = os.environ.get("VWTPU_BOX_MODE", "hybrid")
+# (1024^2 pyramid bench, Mp/s): with output shipping in the loop, cumsum
+# 12.8 < hybrid2 15.8 < hybrid 16.6; after the digest-sync bench + the
+# cost-volume-reuse parabola, hybrid2 36.5 < hybrid 44.7 < mxu 55.4 — the
+# all-matmul form keeps one layout through both axes (the hybrid's
+# matmul->cumsum handoff costs two full relayout fusions, and the column
+# cumsum lowers to an O(n^2) reduce_window at coarse levels). MXU is the
+# default; re-measure modes whenever the surrounding pipeline changes.
+# Disparities are bit-identical across modes on the CPU parity harness
+# (all 5 cost types; tests/test_correlation.py).
+_BOX_MODE = os.environ.get("VWTPU_BOX_MODE", "mxu")
 _UNROLL = os.environ.get("VWTPU_UNROLL", "1") == "1"
 
 
@@ -438,10 +441,12 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
 
 
 def _auto_chunk(n_disp: int, pixels: int, cost_type: str,
-                budget_bytes: float = 1.5e9) -> int:
+                budget_bytes: float = 3.0e9) -> int:
     """Disparity-chunk size for the batched-volume sweep: as many planes per
     step as fit the working-set budget (~3 live volumes; census carries the
-    extra packed-code planes)."""
+    extra packed-code planes). Budget 3.0e9 keeps the 1024^2 bench's level-0
+    extended sweep (130 planes) in ONE chunk — the inter-chunk concat alone
+    cost ~1.7 ms/frame (measured 55.4 -> 59.3 Mp/s raising 1.5e9 -> 3.0e9)."""
     per_plane = pixels * 4 * 3
     if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
         per_plane *= 2
