@@ -220,28 +220,69 @@ def _tile_offsets(prior_disp, prior_valid, tile: int, expand: int,
     return jnp.stack([off_x, off_y], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "buffer",
-                                             "max_off_x", "max_off_y"))
+def _hist_median(counts):
+    """Exact median of non-negative-int samples from per-value counts
+    (..., nvals): averages the two middle order statistics like
+    ``nanmedian``. Zero-count rows return 0."""
+    n = jnp.sum(counts, axis=-1, keepdims=True)
+    cum = jnp.cumsum(counts, axis=-1)
+    k1 = (n - 1) // 2                     # lower middle (0-based)
+    k2 = n // 2                           # upper middle
+    vals = jnp.arange(counts.shape[-1], dtype=jnp.float32)
+    big = jnp.float32(counts.shape[-1])
+    v1 = jnp.min(jnp.where(cum > k1, vals, big), axis=-1)
+    v2 = jnp.min(jnp.where(cum > k2, vals, big), axis=-1)
+    med = 0.5 * (v1 + v2)
+    return jnp.where(n[..., 0] > 0, med, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "buffer", "max_off_x",
+                                             "max_off_y", "value_bounds"))
 def _tile_offsets_centered(prior_disp, prior_valid, tile: int, buffer: int,
-                           max_off_x: int, max_off_y: int):
+                           max_off_x: int, max_off_y: int,
+                           value_bounds: Optional[Tuple[int, int]] = None):
     """Per-tile search offsets centered on the tile median of the previous
     level's disparity — the static-shape stand-in for the reference SGM's
     per-pixel ``prev_disparity +- search_buffer`` bounds (SGM.cc:405-420).
     The median (vs the BM path's min) keeps the narrow ``2*buffer+1`` window
-    centered on the dominant tile disparity."""
+    centered on the dominant tile disparity.
+
+    ``value_bounds``: static (n_x, n_y) such that valid disparities are
+    integers in [0, n_x) x [0, n_y). When given, medians are computed from
+    per-value histograms (fused counting, exact order statistics) — the
+    generic ``nanmedian`` lowers to full sorts that cost ~4 ms/frame on a
+    512^2 level."""
     h, w = prior_valid.shape
     nty, ntx = h // tile, w // tile
-    disp = prior_disp.astype(jnp.float32)
-    masked = jnp.where(prior_valid[..., None], disp, jnp.nan)
-    t4 = (masked.reshape(nty, tile, ntx, tile, 2)
-          .transpose(0, 2, 1, 3, 4).reshape(nty, ntx, tile * tile, 2))
-    med = jnp.nanmedian(t4, axis=2)                      # (nty, ntx, 2)
     has_valid = jnp.any(prior_valid.reshape(nty, tile, ntx, tile),
                         axis=(1, 3))
-    gmed = jnp.nanmedian(masked.reshape(-1, 2), axis=0)
-    gmed = jnp.nan_to_num(gmed, nan=0.0)
-    med = jnp.where(has_valid[..., None], jnp.nan_to_num(med, nan=0.0),
-                    gmed[None, None, :])
+    if value_bounds is not None:
+        di = jnp.clip(jnp.round(prior_disp).astype(jnp.int32), 0,
+                      jnp.asarray([value_bounds[0] - 1, value_bounds[1] - 1]))
+        t4 = (di.reshape(nty, tile, ntx, tile, 2)
+              .transpose(0, 2, 1, 3, 4).reshape(nty, ntx, tile * tile, 2))
+        v4 = prior_valid.reshape(nty, tile, ntx, tile) \
+            .transpose(0, 2, 1, 3).reshape(nty, ntx, tile * tile)
+        meds = []
+        for c, nvals in ((0, int(value_bounds[0])), (1, int(value_bounds[1]))):
+            onehot = (t4[..., c][..., None]
+                      == jnp.arange(nvals)[None, None, None, :])
+            counts = jnp.sum(jnp.where(v4[..., None], onehot, False)
+                             .astype(jnp.float32), axis=2)   # (nty, ntx, n)
+            meds.append(_hist_median(counts))
+            gmed_c = _hist_median(jnp.sum(counts, axis=(0, 1)))
+            meds[-1] = jnp.where(has_valid, meds[-1], gmed_c)
+        med = jnp.stack(meds, axis=-1)
+    else:
+        disp = prior_disp.astype(jnp.float32)
+        masked = jnp.where(prior_valid[..., None], disp, jnp.nan)
+        t4 = (masked.reshape(nty, tile, ntx, tile, 2)
+              .transpose(0, 2, 1, 3, 4).reshape(nty, ntx, tile * tile, 2))
+        med = jnp.nanmedian(t4, axis=2)                  # (nty, ntx, 2)
+        gmed = jnp.nanmedian(masked.reshape(-1, 2), axis=0)
+        gmed = jnp.nan_to_num(gmed, nan=0.0)
+        med = jnp.where(has_valid[..., None], jnp.nan_to_num(med, nan=0.0),
+                        gmed[None, None, :])
     off = jnp.round(med).astype(jnp.int32) - buffer
     off_x = jnp.clip(off[..., 0], 0, max_off_x)
     off_y = jnp.clip(off[..., 1], 0, max_off_y)
@@ -455,7 +496,8 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                 offsets = _tile_offsets_centered(pr_d, pr_v, t,
                                                  int(sgm_search_buffer),
                                                  s_w_l - s_x_eff,
-                                                 s_h_l - s_y_eff)
+                                                 s_h_l - s_y_eff,
+                                                 value_bounds=(s_w_l, s_h_l))
             else:
                 s_x_eff = min(int(refine_window), s_w_l)
                 s_y_eff = min(int(refine_window), s_h_l)

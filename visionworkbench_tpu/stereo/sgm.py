@@ -278,13 +278,33 @@ def _volume_argmin_subpixel(acc, subpixel: str):
     if subpixel == "none":
         return disp.astype(jnp.float32), flat
     padded = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    s0 = padded[yy, xx, dy + 1, dx + 1]
-    sxm = padded[yy, xx, dy + 1, dx]
-    sxp = padded[yy, xx, dy + 1, dx + 2]
-    sym = padded[yy, xx, dy, dx + 1]
-    syp = padded[yy, xx, dy + 2, dx + 1]
+    if (sy + 2) * (sx + 2) <= 256:
+        # Fused select-chain over the (small) padded volume: per-pixel
+        # gathers cost ~3.5 ms per 0.26 Mpx plane on this toolchain (the
+        # five gathers dominated the whole SGM profile); the static loop
+        # fuses into one elementwise pass.
+        zeros = jnp.zeros((h, w), acc.dtype)
+        s0 = sxm = sxp = sym = syp = zeros
+        for a in range(sy + 2):
+            ha = dy + 1 == a     # plane row a == dy + 1 (s0 / sxm / sxp)
+            ha_m = dy == a       # plane row a == dy     (sym: padded[.., dy, dx+1])
+            ha_p = dy + 2 == a   # plane row a == dy + 2 (syp)
+            for b in range(sx + 2):
+                plane = padded[:, :, a, b]
+                hb = dx + 1 == b
+                s0 = jnp.where(ha & hb, plane, s0)
+                sxm = jnp.where(ha & (dx == b), plane, sxm)
+                sxp = jnp.where(ha & (dx + 2 == b), plane, sxp)
+                sym = jnp.where(ha_m & hb, plane, sym)
+                syp = jnp.where(ha_p & hb, plane, syp)
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        s0 = padded[yy, xx, dy + 1, dx + 1]
+        sxm = padded[yy, xx, dy + 1, dx]
+        sxp = padded[yy, xx, dy + 1, dx + 2]
+        sym = padded[yy, xx, dy, dx + 1]
+        syp = padded[yy, xx, dy + 2, dx + 1]
     off_x = jnp.where((dx > 0) & (dx < sx - 1),
                       _subpixel_1d(sxm, s0, sxp, subpixel), 0.0)
     off_y = jnp.where((dy > 0) & (dy < sy - 1),
@@ -350,16 +370,31 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
     img = lq[cw2:cw2 + out_h, cw2:cw2 + out_w].astype(jnp.float32)
 
     base = jnp.repeat(jnp.repeat(offsets, tile, 0), tile, 1)     # (H, W, 2)
-    yy = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) + cw2 + base[..., 1]
-    xx = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) + cw2 + base[..., 0]
-    rows = []
-    for j in range(ry):
-        row = []
-        for i in range(rx):
-            code = rc[yy + j, xx + i]                            # (H, W, nw)
-            row.append(hamming_distance(lc, code).astype(jnp.float32))
-        rows.append(jnp.stack(row, -1))
-    cost = jnp.stack(rows, -2)                                   # (H, W, ry, rx)
+    # Per-tile cost volume: the disparity offset is constant within a tile,
+    # so every census lookup is ONE dynamic_slice per tile plus rx*ry static
+    # slices — no per-pixel gather (rx*ry full-frame code gathers were
+    # ~2.7 ms each on a 512^2 level and dominated the SGM profile).
+    nw = rc.shape[-1]
+
+    def per_tile(ty, tx, off):
+        lt = lax.dynamic_slice(lc, (ty * tile, tx * tile, 0), (tile, tile, nw))
+        mt = lax.dynamic_slice(
+            rc, (ty * tile + cw2 + off[1], tx * tile + cw2 + off[0], 0),
+            (tile + ry - 1, tile + rx - 1, nw))
+        rows = []
+        for j in range(ry):
+            row = []
+            for i in range(rx):
+                code = lax.slice(mt, (j, i, 0), (j + tile, i + tile, nw))
+                row.append(hamming_distance(lt, code).astype(jnp.float32))
+            rows.append(jnp.stack(row, -1))
+        return jnp.stack(rows, -2)                               # (t, t, ry, rx)
+
+    tys = jnp.repeat(jnp.arange(nty), ntx)
+    txs = jnp.tile(jnp.arange(ntx), nty)
+    cost_t = jax.vmap(per_tile)(tys, txs, offsets.reshape(-1, 2))
+    cost = (cost_t.reshape(nty, ntx, tile, tile, ry, rx)
+            .transpose(0, 2, 1, 3, 4, 5).reshape(out_h, out_w, ry, rx))
 
     if use_mgm:
         acc = _mgm_aggregate(cost, img, p1, p2)
