@@ -2,8 +2,11 @@
 
 Prints one JSON line per config: {"config", "metric", "value", "unit"}.
 Timing protocol matches ``bench.py``: jit once, warm once, then run
-``iters`` executions on distinct inputs and force ONE host readback at the
-end (``jax.block_until_ready`` does not synchronize on the axon relay).
+``iters`` executions on distinct inputs, synchronized by a host readback of
+a scalar digest of the outputs (``jax.block_until_ready`` does not
+synchronize on the axon relay, and full-output readbacks measure the
+sandbox's ~310 MB/s tunnel rather than the chip — pass ``--ship`` to time
+with output transfer included).
 
 Run small shapes everywhere with ``--quick`` (CI / CPU smoke).
 """
@@ -16,13 +19,29 @@ import sys
 import time
 
 
-def _timed(fn, inputs, readback):
-    out = fn(*inputs[0])
-    readback(out)
+def _timed(fn, inputs, readback, ship=False):
+    """Digest-sync protocol (matches bench.py): jit a scalar digest of the
+    outputs so the readback barrier forces every queued execution without
+    measuring the sandbox's ~310 MB/s relay tunnel (not the chip's d2h
+    path). ``ship=True`` restores full-output readback timing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if ship:
+        timed_fn, force = fn, readback
+    else:
+        def digest(*args):
+            out = fn(*args)
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree.leaves(out))
+        timed_fn, force = jax.jit(digest), lambda o: np.asarray(o)
+    out = timed_fn(*inputs[0])
+    force(out)
     t0 = time.time()
     for args in inputs:
-        out = fn(*args)
-    readback(out)
+        out = timed_fn(*args)
+    force(out)
     return (time.time() - t0) / len(inputs)
 
 
@@ -30,6 +49,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny shapes (smoke)")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--ship", action="store_true",
+                   help="time full-output readback instead of the digest")
     p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     args = p.parse_args(argv)
 
@@ -63,7 +84,7 @@ def main(argv=None) -> int:
             return tuple(out)
 
         fn = jax.jit(pyr)
-        dt = _timed(fn, [(l,) for l in lefts], lambda o: np.asarray(o[-1]))
+        dt = _timed(fn, [(l,) for l in lefts], lambda o: np.asarray(o[-1]), ship=args.ship)
         report("gaussian+pyramid", n * n / dt / 1e6, "Mp/s")
 
     if 2 in args.configs:
@@ -82,7 +103,8 @@ def main(argv=None) -> int:
 
         fn = jax.jit(ipmatch)
         dt = _timed(fn, [(l, right) for l in lefts],
-                    lambda o: np.asarray(jax.tree.leaves(o)[0]))
+                    lambda o: np.asarray(jax.tree.leaves(o)[0]),
+                    ship=args.ship)
         report("interest+match", 2 * n * n / dt / 1e6, "Mp/s")
 
     if 3 in args.configs:
@@ -98,7 +120,7 @@ def main(argv=None) -> int:
             return dm.disparity, dm.valid
 
         fn = jax.jit(bm)
-        dt = _timed(fn, [(l, rr) for l in lefts], lambda o: np.asarray(o[0]))
+        dt = _timed(fn, [(l, rr) for l in lefts], lambda o: np.asarray(o[0]), ship=args.ship)
         report("single-level-bm", n * n / dt / 1e6, "Mp/s")
 
     if 4 in args.configs:
@@ -116,7 +138,7 @@ def main(argv=None) -> int:
             return dm.disparity, dm.valid
 
         fn = jax.jit(corr)
-        dt = _timed(fn, [(l, right) for l in lefts], lambda o: np.asarray(o[0]))
+        dt = _timed(fn, [(l, right) for l in lefts], lambda o: np.asarray(o[0]), ship=args.ship)
         report("pyramid-census-parabola", n * n / dt / 1e6, "Mp/s")
 
     if 5 in args.configs:
@@ -136,7 +158,8 @@ def main(argv=None) -> int:
 
         fn = jax.jit(mosaic)
         dt = _timed(fn, [(l, right) for l in lefts],
-                    lambda o: np.asarray(jax.tree.leaves(o)[0]))
+                    lambda o: np.asarray(jax.tree.leaves(o)[0]),
+                    ship=args.ship)
         report("warp+mosaic", 2 * n * n / dt / 1e6, "Mp/s")
     return 0
 

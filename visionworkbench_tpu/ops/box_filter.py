@@ -33,11 +33,28 @@ def box_sum_valid(image, kernel_w: int, kernel_h: int):
     return out
 
 
-def box_sum_same(image, kernel_w: int, kernel_h: int, edge: str = "zero"):
-    """Same-size box sum with edge extension (centered window)."""
+def box_sum_same(image, kernel_w: int, kernel_h: int, edge: str = "zero",
+                 formulation: str = "auto"):
+    """Same-size box sum with edge extension (centered window).
+
+    ``formulation``: 'rw' (two reduce_window passes, exact direct sums) or
+    'cumsum' (prefix-sum differences, O(1)/px — a full-frame 15-tap
+    reduce_window pass costs ~3 ms/Mpx on this toolchain while the cumsum
+    form is bandwidth-bound; cancellation is benign at correlation-window
+    magnitudes). 'auto' picks cumsum for large planes."""
     from visionworkbench_tpu.image.edge import edge_extend
     padded = edge_extend(image, x_pad=(kernel_w // 2, kernel_w - 1 - kernel_w // 2),
                          y_pad=(kernel_h // 2, kernel_h - 1 - kernel_h // 2), mode=edge)
+    h, w = padded.shape[0], padded.shape[1]
+    if formulation == "auto":
+        formulation = "cumsum" if image.ndim == 2 and image.size >= 64 * 64 else "rw"
+    if formulation == "cumsum":
+        c = jnp.cumsum(padded, axis=0)
+        cp = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
+        out = cp[kernel_h:] - cp[:-kernel_h]
+        c = jnp.cumsum(out, axis=1)
+        cp = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], axis=1)
+        return cp[:, kernel_w:] - cp[:, :-kernel_w]
     return box_sum_valid(padded, kernel_w, kernel_h)
 
 
