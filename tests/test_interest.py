@@ -171,3 +171,23 @@ def test_pca_describe_requires_basis():
     pts = detect_points(img, "harris", max_points=8, threshold=1e-8)
     with pytest.raises(ValueError):
         describe(img, pts, "pca")
+
+
+@pytest.mark.parametrize("kind", ["patch", "sgrad"])
+def test_upright_descriptors_match_general_path(rng, kind):
+    """upright=True (dynamic-slice supports) must equal the rotated-gather
+    sampling exactly for orientation-0 / scale-1 points away from borders."""
+    import jax.numpy as jnp
+    from visionworkbench_tpu.interest import describe
+    from visionworkbench_tpu.interest.types import InterestPoints
+    img = jnp.asarray(rng.random((120, 130)).astype(np.float32))
+    k = 24
+    xs = jnp.asarray(rng.uniform(30, 100, k).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(30, 90, k).astype(np.float32))
+    pts = InterestPoints(xs, ys, jnp.ones((k,), jnp.float32),
+                         jnp.zeros((k,), jnp.float32),
+                         jnp.ones((k,), jnp.float32), jnp.ones((k,), bool))
+    a = describe(img, pts, kind=kind, upright=False)
+    b = describe(img, pts, kind=kind, upright=True)
+    np.testing.assert_allclose(np.asarray(a.descriptor),
+                               np.asarray(b.descriptor), rtol=1e-5, atol=1e-5)

@@ -94,10 +94,12 @@ def main(argv=None) -> int:
         )
 
         def ipmatch(a, b):
+            # upright: single-scale harris points carry orientation 0 /
+            # scale 1, so supports extract with dynamic slices (exact).
             pa = describe(a, detect_points(a, "harris", max_points=512,
-                                           threshold=1e-8))
+                                           threshold=1e-8), upright=True)
             pb = describe(b, detect_points(b, "harris", max_points=512,
-                                           threshold=1e-8))
+                                           threshold=1e-8), upright=True)
             m = match_points(pa, pb, ratio=0.8)
             return m
 

@@ -7,7 +7,12 @@
 
 Support regions are scale- and orientation-normalized windows sampled with
 bilinear gathers (ref ``get_support``), vmapped over the fixed-capacity point
-buffer.
+buffer. Pass ``upright=True`` when every point has orientation 0 and scale 1
+(single-scale Harris/LoG detections, before :func:`assign_orientations`):
+supports are then extracted with one dynamic slice per point plus a shared
+bilinear blend instead of four per-pixel gathers — the gathers cost ~10 ms
+per 512x41x41 tap set on this toolchain and dominated the whole
+detect+describe+match pipeline.
 """
 
 from __future__ import annotations
@@ -17,11 +22,46 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from visionworkbench_tpu.image.interpolation import interpolate
 from visionworkbench_tpu.interest.types import InterestPoints
 
 SUPPORT_SIZE = 41  # ref Descriptor.h support size
+
+
+def _upright_patches(img, pts: InterestPoints, size: int):
+    """(K, size, size) bilinear support patches for axis-aligned unit-scale
+    points: one vmapped ``dynamic_slice`` of a (size+1)^2 window per point,
+    then a four-corner blend with the point's (shared) fractional weights —
+    value-identical to the rotated-gather path when orientation == 0 and
+    scale == 1 for every in-interior point (window origins clamp at image
+    borders where the general path clamps per sample)."""
+    half = (size - 1) // 2
+    pad = half + 2
+    p = jnp.pad(img, pad, mode="edge")
+    x0f = jnp.floor(pts.x)
+    y0f = jnp.floor(pts.y)
+    fx = (pts.x - x0f)[:, None, None]
+    fy = (pts.y - y0f)[:, None, None]
+    ox = jnp.clip(x0f.astype(jnp.int32) - half + pad, 0, p.shape[1] - size - 1)
+    oy = jnp.clip(y0f.astype(jnp.int32) - half + pad, 0, p.shape[0] - size - 1)
+
+    def one(oyk, oxk):
+        return lax.dynamic_slice(p, (oyk, oxk), (size + 1, size + 1))
+
+    w = jax.vmap(one)(oy, ox)                          # (K, size+1, size+1)
+    return ((1 - fy) * (1 - fx) * w[:, :size, :size]
+            + (1 - fy) * fx * w[:, :size, 1:]
+            + fy * (1 - fx) * w[:, 1:, :size]
+            + fy * fx * w[:, 1:, 1:])
+
+
+def _sample_support(img, pts: InterestPoints, size: int, upright: bool):
+    if upright:
+        return _upright_patches(img, pts, size)
+    x, y = _support_coords(pts, size)
+    return jax.vmap(lambda xc, yc: interpolate(img, xc, yc, "bilinear"))(x, y)
 
 
 def _support_coords(pts: InterestPoints, size: int):
@@ -38,34 +78,31 @@ def _support_coords(pts: InterestPoints, size: int):
     return pts.x[:, None, None] + dx, pts.y[:, None, None] + dy
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _patch_descriptors(img, x, y, valid, size: int):
-    def one(xc, yc):
-        return interpolate(img, xc, yc, "bilinear")
-    patches = jax.vmap(one)(x, y)                    # (K, size, size)
+@functools.partial(jax.jit, static_argnames=("size", "upright"))
+def _patch_descriptors(img, pts, size: int, upright: bool):
+    patches = _sample_support(img, pts, size, upright)  # (K, size, size)
     flat = patches.reshape(patches.shape[0], -1)
     mean = flat.mean(axis=1, keepdims=True)
     centered = flat - mean
     norm = jnp.sqrt((centered ** 2).sum(axis=1, keepdims=True))
     out = centered / jnp.maximum(norm, 1e-12)
-    return jnp.where(valid[:, None], out, 0.0)
+    return jnp.where(pts.valid[:, None], out, 0.0)
 
 
-def patch_descriptor(img, pts: InterestPoints, size: int = 17) -> InterestPoints:
+def patch_descriptor(img, pts: InterestPoints, size: int = 17,
+                     upright: bool = False) -> InterestPoints:
     """Normalized patch descriptor (ref ``PatchDescriptorGenerator``)."""
     img = jnp.asarray(img, jnp.float32)
-    x, y = _support_coords(pts, size)
-    desc = _patch_descriptors(img, x, y, pts.valid, size)
+    desc = _patch_descriptors(img, pts, size, upright)
     return pts._replace(descriptor=desc)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "bins", "size"))
-def _sgrad_descriptors(img, x, y, orientation, valid, grid: int, bins: int,
-                       size: int):
-    k = x.shape[0]
-    def one(xc, yc):
-        return interpolate(img, xc, yc, "bilinear")
-    patches = jax.vmap(one)(x, y)                     # (K, size, size)
+@functools.partial(jax.jit, static_argnames=("grid", "bins", "size", "upright"))
+def _sgrad_descriptors(img, pts, grid: int, bins: int, size: int,
+                       upright: bool):
+    orientation, valid = pts.orientation, pts.valid
+    k = pts.x.shape[0]
+    patches = _sample_support(img, pts, size, upright)  # (K, size, size)
     gx = (jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2)) * 0.5
     gy = (jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1)) * 0.5
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -93,11 +130,11 @@ def _sgrad_descriptors(img, x, y, orientation, valid, grid: int, bins: int,
 
 
 def sgrad_descriptor(img, pts: InterestPoints, grid: int = 4, bins: int = 8,
-                     size: int = SUPPORT_SIZE) -> InterestPoints:
+                     size: int = SUPPORT_SIZE,
+                     upright: bool = False) -> InterestPoints:
     """Gradient-histogram descriptor (ref ``SGradDescriptorGenerator``)."""
     img = jnp.asarray(img, jnp.float32)
-    x, y = _support_coords(pts, size)
-    desc = _sgrad_descriptors(img, x, y, pts.orientation, pts.valid, grid, bins, size)
+    desc = _sgrad_descriptors(img, pts, grid, bins, size, upright)
     return pts._replace(descriptor=desc)
 
 
@@ -137,18 +174,15 @@ def fit_pca_basis(patches, n_components: int = 20) -> PCABasis:
     return PCABasis(vt[:n_components].T, avg)
 
 
-def pca_descriptor(img, pts: InterestPoints, basis: PCABasis) -> InterestPoints:
+def pca_descriptor(img, pts: InterestPoints, basis: PCABasis,
+                   upright: bool = False) -> InterestPoints:
     """Project L2-normalized support patches onto a PCA basis
     (ref ``PCASIFTDescriptorGenerator::compute_descriptor``,
     Descriptor.h:380-410): ``desc = (patch/||patch|| - avg) @ basis`` — a
     single (K, d) x (d, k) matmul over all keypoints."""
     img = jnp.asarray(img, jnp.float32)
-    x, y = _support_coords(pts, basis.size)
-
-    def one(xc, yc):
-        return interpolate(img, xc, yc, "bilinear")
-
-    patches = jax.vmap(one)(x, y).reshape(len(pts.x), -1)
+    patches = _sample_support(img, pts, basis.size, upright)
+    patches = patches.reshape(len(pts.x), -1)
     norm = jnp.sqrt((patches ** 2).sum(axis=1, keepdims=True))
     centered = patches / jnp.maximum(norm, 1e-12) - jnp.asarray(basis.avg)
     desc = centered @ jnp.asarray(basis.basis)
@@ -156,13 +190,18 @@ def pca_descriptor(img, pts: InterestPoints, basis: PCABasis) -> InterestPoints:
 
 
 def describe(img, pts: InterestPoints, kind: str = "sgrad",
-             pca_basis: "PCABasis | None" = None) -> InterestPoints:
+             pca_basis: "PCABasis | None" = None,
+             upright: bool = False) -> InterestPoints:
+    """``upright=True`` asserts every point has orientation 0 and scale 1
+    (true straight out of single-scale :func:`detect_points`, before
+    :func:`assign_orientations`) and extracts supports with dynamic slices
+    instead of per-pixel gathers — ~5x faster descriptor stage on TPU."""
     if kind == "patch":
-        return patch_descriptor(img, pts)
+        return patch_descriptor(img, pts, upright=upright)
     if kind in ("sgrad", "sgrad2"):
-        return sgrad_descriptor(img, pts)
+        return sgrad_descriptor(img, pts, upright=upright)
     if kind == "pca":
         if pca_basis is None:
             raise ValueError("describe(kind='pca') needs a pca_basis")
-        return pca_descriptor(img, pts, pca_basis)
+        return pca_descriptor(img, pts, pca_basis, upright=upright)
     raise ValueError(f"unknown descriptor {kind!r}")
