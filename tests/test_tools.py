@@ -159,18 +159,32 @@ def test_detect_water_tool(tmp_path, rng, capsys):
                  "--min-blob-area", "4"]) == 0
     water, _ = read_tiff(out)
     assert water[16, 16] == 255
-    assert water[2, 2] == 0
+    assert water[2, 2] == 1      # FLOOD_DETECT_LAND (flood_common.h)
     assert "% water" in capsys.readouterr().out
 
-    # sentinel1 mode on a bimodal backscatter band
-    sar = (0.5 + 0.05 * rng.random((48, 48))).astype(np.float32)
-    sar[10:30, 10:30] = 0.05
+    # sentinel1 fixed-threshold fallback on a bimodal backscatter band
+    sar = (1000.0 + 100.0 * rng.random((48, 48))).astype(np.float32)
+    sar[10:30, 10:30] = 30.0
     spath = str(tmp_path / "sar.tif")
     write_tiff(spath, sar)
     sout = str(tmp_path / "sar_water.tif")
-    assert main([spath, "-o", sout, "--mode", "sentinel1"]) == 0
+    assert main([spath, "-o", sout, "--mode", "sentinel1",
+                 "--threshold", "500"]) == 0
     wsar, _ = read_tiff(sout)
-    assert wsar[20, 20] == 255 and wsar[2, 2] == 0
+    assert wsar[20, 20] == 255 and wsar[2, 2] == 1
+
+    # sentinel1 automatic (Martinis) path: needs realistic DN magnitudes
+    # and a tile size that fits the image.
+    sar2 = (1000.0 + 150.0 * rng.standard_normal((64, 64))).clip(
+        200.0).astype(np.float32)
+    sar2[24:40, :] = 30.0 + 5.0 * rng.random((16, 64))
+    spath2 = str(tmp_path / "sar2.tif")
+    write_tiff(spath2, sar2)
+    sout2 = str(tmp_path / "sar2_water.tif")
+    assert main([spath2, "-o", sout2, "--mode", "sentinel1",
+                 "--tile-size", "16"]) == 0
+    wsar2, _ = read_tiff(sout2)
+    assert wsar2[32, 32] == 255 and wsar2[4, 32] == 1
 
 
 def test_clean_sentinel1_borders_tool(tmp_path, capsys):

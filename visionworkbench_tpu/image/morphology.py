@@ -158,6 +158,36 @@ def remove_small_blobs(mask, min_area: int, connectivity: int = 4):
     return jnp.asarray(mask).astype(bool) & (area >= min_area)
 
 
+def blob_sizes(mask, size_limit: int, connectivity: int = 4):
+    """Per-pixel size of the containing blob, capped at ``size_limit``
+    (ref ``get_blob_sizes``, BlobIndex.h:613; the reference approximates
+    per-tile with an expand collar — labeling the whole image here is exact).
+    Pixels outside the mask get 0 (the reference's BLOBS_NODATA)."""
+    labels = blob_index(mask, connectivity)
+    area = blob_areas(labels)
+    return jnp.minimum(area, size_limit).astype(jnp.uint32)
+
+
+def two_threshold_fill(image, low_threshold: float, high_threshold: float,
+                       output_false: int = 0, output_true: int = 1):
+    """Hysteresis fill: seed at pixels > high_threshold, grow through
+    8-connected pixels > low_threshold (ref ``two_threshold_fill``,
+    ImageSurface.h:324; the reference's tile-expanded raster sweeps
+    approximate this closure — blob labeling computes it exactly)."""
+    img = jnp.asarray(image, jnp.float32)
+    low_mask = img > low_threshold
+    seeds = img > high_threshold
+    labels = blob_index(low_mask, connectivity=8)
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    safe = jnp.where(flat >= 0, flat, 0)
+    has_seed = jnp.zeros((h * w,), jnp.bool_).at[safe].max(
+        seeds.reshape(-1) & (flat >= 0))
+    filled = (jnp.take(has_seed, safe) & (flat >= 0)).reshape(h, w)
+    return jnp.where(filled, jnp.uint8(output_true),
+                     jnp.uint8(output_false))
+
+
 def _window_minmax(image, size: int, is_max: bool, edge_value):
     pad = size // 2
     padded = jnp.pad(jnp.asarray(image, jnp.float32),
