@@ -422,21 +422,58 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
         planes.append(_box_sum_volume(vol_c, kw, kh, box_mode))
     vol = jnp.concatenate(planes, axis=0)                  # (n_ext, oh, ow)
     ve = vol.reshape(sy_e, sx_e, out_h, out_w)
-    vi = ve[1:-1, 1:-1].reshape(sy * sx, out_h, out_w)
-    best = jnp.min(vi, axis=0)
-    worst = jnp.max(vi, axis=0)
-    arg = jnp.argmin(vi, axis=0).astype(jnp.int32)         # first-best wins
+
+    # Single-pass (best, worst, argmin) over the interior planes: one
+    # variadic lax.reduce over the extended volume with the ring masked out.
+    # The separate interior-slice + min/max pass + argmin pass formulation
+    # cost three HBM traversals of the volume (one of them a materialized
+    # interior copy); this is one. Tie-breaking is lexicographic (value,
+    # plane id), i.e. first-best-wins in vi row-major order — bit-identical
+    # to jnp.argmin over the interior and associative, so XLA may
+    # reassociate the reduction freely.
+    ys_idx = jnp.arange(sy_e, dtype=jnp.int32)[:, None, None, None]
+    xs_idx = jnp.arange(sx_e, dtype=jnp.int32)[None, :, None, None]
+    interior = ((ys_idx >= 1) & (ys_idx <= sy_e - 2)
+                & (xs_idx >= 1) & (xs_idx <= sx_e - 2))
+    inf = jnp.float32(jnp.inf)
+    big_id = jnp.int32(sx * sy)
+    ids = jnp.broadcast_to(
+        jnp.where(interior, (ys_idx - 1) * sx + (xs_idx - 1), big_id),
+        ve.shape)
+
+    def _comb(acc, x):
+        bv, wv, bi = acc
+        v, wx, i = x
+        lt = v < bv
+        eq = v == bv
+        nbi = jnp.where(lt, i, jnp.where(eq, jnp.minimum(bi, i), bi))
+        return jnp.minimum(bv, v), jnp.maximum(wv, wx), nbi
+
+    best, worst, arg = lax.reduce(
+        (jnp.where(interior, ve, inf), jnp.where(interior, ve, -inf), ids),
+        (inf, -inf, big_id), _comb, dimensions=(0, 1))
     valid = best != worst
     ax, ay = arg % sx, arg // sx
     disp = jnp.where(valid[..., None], jnp.stack([ax, ay], axis=-1), 0)
     # Winner coordinates in the extended grid.
     ey, ex = ay + 1, ax + 1
-    ys_idx = jnp.arange(sy_e)[:, None, None, None]
-    rows = [jnp.sum(jnp.where(ys_idx == (ey + r)[None, None], ve, 0.0), axis=0)
-            for r in (-1, 0, 1)]                           # 3 x (sx_e, oh, ow)
-    xs_idx = jnp.arange(sx_e)[:, None, None]
-    patch = [jnp.sum(jnp.where(xs_idx == (ex + c)[None], rp, 0.0), axis=0)
-             for rp in rows for c in (-1, 0, 1)]
+
+    def _sum_tuple(acc, x):
+        return tuple(a + b for a, b in zip(acc, x))
+
+    # All three winner rows in ONE volume read (a 3-operand variadic reduce
+    # over y) instead of three separate one-hot contractions, then all nine
+    # patch entries in one read of the three rows.
+    zero = jnp.float32(0.0)
+    rows = lax.reduce(
+        tuple(jnp.where(ys_idx == (ey + r)[None, None], ve, 0.0)
+              for r in (-1, 0, 1)),
+        (zero,) * 3, _sum_tuple, dimensions=(0,))          # 3 x (sx_e, oh, ow)
+    xs3 = jnp.arange(sx_e, dtype=jnp.int32)[:, None, None]
+    patch = lax.reduce(
+        tuple(jnp.where(xs3 == (ex + c)[None], rp, 0.0)
+              for rp in rows for c in (-1, 0, 1)),
+        (zero,) * 9, _sum_tuple, dimensions=(0,))
     return disp, valid, best, jnp.stack(patch, axis=-1)
 
 
