@@ -86,6 +86,17 @@ def _volume_chunk_static(cost_fn, right_like, sx: int, d0: int, n: int,
     return jnp.stack(planes)
 
 
+def _band_matrix(n_out: int, n_in: int, k: int):
+    """(n_out, n_in) 0/1 band: row o sums inputs [o, o+k), built with
+    in-graph iotas. NOTE(perf): building these host-side as embedded
+    constants was measured SLOWER (single-level BM 123.8 -> 102.4 Mp/s on
+    v5e) — XLA assigns generated bands a layout the banded einsum likes,
+    while constants arrive in a layout that forces a relayout."""
+    oi = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    ii = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    return ((ii >= oi) & (ii < oi + k)).astype(jnp.float32)
+
+
 def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
     """Separable 'valid' box sum over the trailing two axes of a (..., H, W)
     cost volume. ``box_mode``:
@@ -101,9 +112,7 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
         # different fast paths on TPU; measure end-to-end per workload.
         oh, ow = h - kh + 1, w - kw + 1
         if box_mode == "hybrid":   # rows via banded MXU matmul, cols cumsum
-            oi = lax.broadcasted_iota(jnp.int32, (oh, h), 0)
-            ii = lax.broadcasted_iota(jnp.int32, (oh, h), 1)
-            b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.float32)
+            b_row = _band_matrix(oh, h, kh)
             out = jnp.einsum("oh,...hw->...ow", b_row, vol,
                              precision=lax.Precision.HIGHEST)
             c = jnp.cumsum(out, axis=-1)
@@ -114,9 +123,7 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
         zrow = jnp.zeros_like(c[..., :1, :])
         cp = jnp.concatenate([zrow, c], axis=-2)
         out = cp[..., kh:, :] - cp[..., :-kh, :]
-        oj = lax.broadcasted_iota(jnp.int32, (w, ow), 1)
-        jj = lax.broadcasted_iota(jnp.int32, (w, ow), 0)
-        b_col = ((jj >= oj) & (jj < oj + kw)).astype(jnp.float32)
+        b_col = _band_matrix(ow, w, kw).T
         return jnp.einsum("...ow,wp->...op", out, b_col,
                           precision=lax.Precision.HIGHEST)
     if box_mode == "rw":
@@ -136,12 +143,8 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
         return cp[..., :, kw:] - cp[..., :, :-kw]
     if box_mode == "mxu":
         oh, ow = h - kh + 1, w - kw + 1
-        oi = lax.broadcasted_iota(jnp.int32, (oh, h), 0)
-        ii = lax.broadcasted_iota(jnp.int32, (oh, h), 1)
-        b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.float32)
-        oj = lax.broadcasted_iota(jnp.int32, (w, ow), 1)
-        jj = lax.broadcasted_iota(jnp.int32, (w, ow), 0)
-        b_col = ((jj >= oj) & (jj < oj + kw)).astype(jnp.float32)
+        b_row = _band_matrix(oh, h, kh)
+        b_col = _band_matrix(ow, w, kw).T
         out = jnp.einsum("oh,...hw->...ow", b_row, vol,
                          precision=lax.Precision.HIGHEST)
         return jnp.einsum("...ow,wp->...op", out, b_col,
@@ -242,6 +245,16 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
             return m
 
         if unroll:
+            # NOTE(perf): a single variadic lax.reduce computing
+            # (min, max, argmin) in one chunk read was tried here; the fused
+            # form SIGABRTs this toolchain's backend ("Attempted to compile
+            # convolution/iota as an elementwise vector operation") when the
+            # box-sum matmul fuses into the reduce, and with an
+            # optimization_barrier it loses the conv+reduce epilogue fusion
+            # (single-level BM 122 -> 102 Mp/s). The separate passes below
+            # keep that epilogue. (The level-0 patches path in
+            # _search_with_patches DOES win with variadic reduces — its
+            # volume is already materialized.)
             best = worst = arg = None
             for d0 in range(0, n_disp, chunk):
                 n = min(chunk, n_disp - d0)
