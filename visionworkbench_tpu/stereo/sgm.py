@@ -30,6 +30,7 @@ flipped copies.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -43,6 +44,13 @@ from visionworkbench_tpu.image.census import (
 from visionworkbench_tpu.stereo.correlation import DisparityMap
 
 _BIG = jnp.float32(1e9)
+
+# Scan-body unroll factor for the aggregation scans. Measured (512^2
+# pyramid SGM, queue-protocol digest sync, v5e): unroll=1 4.00 ms/frame,
+# unroll=8 5.72 — unrolling only bloats the step body here, so 1 is the
+# default. (Scan iteration count is NOT a relay cost: the relay's ~26 ms
+# roundtrip floor is fixed per readback, amortized by queueing frames.)
+_SCAN_UNROLL = int(os.environ.get("VWTPU_SGM_UNROLL", "1"))
 
 # Default penalties by (cost, census kernel size) (ref SGM.cc:104-160).
 _P1_TABLE = {("census", 3): 3, ("census", 5): 15, ("census", 7): 30,
@@ -161,7 +169,7 @@ def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
     # Derive init from the (possibly shard_map-varying) input so the scan
     # carry's varying manual axes match the body output's.
     init = jnp.broadcast_to(cost_t[0] * 0 + _BIG, (2, b, sy, sx, nl))
-    _, ys = lax.scan(step, init, (xs_c, xs_p))
+    _, ys = lax.scan(step, init, (xs_c, xs_p), unroll=_SCAN_UNROLL)
     return ys[:, 0] + jnp.flip(ys[:, 1], 0)                 # (N, sy, sx, L)
 
 
@@ -231,7 +239,7 @@ def _mgm_aggregate(cost, img, p1: float, p2: float):
         return out, out
 
     init = jnp.broadcast_to(cT[0] * 0 + _BIG, (4, sy, sx, h))
-    _, ys = lax.scan(step, init, (cT, plT, puT, inT))
+    _, ys = lax.scan(step, init, (cT, plT, puT, inT), unroll=_SCAN_UNROLL)
     out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (4, H, WW, sy, sx)
     # Un-shear: out[b, y, x] = out_s[b, y, x+y].
     dst_x = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
