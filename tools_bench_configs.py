@@ -48,7 +48,7 @@ def _timed(fn, inputs, readback, ship=False):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny shapes (smoke)")
-    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--iters", type=int, default=24)  # amortize the relay~26.5 ms readback floor
     p.add_argument("--ship", action="store_true",
                    help="time full-output readback instead of the digest")
     p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
