@@ -389,7 +389,8 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
 
 def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
                          cost_type: str, chunk: int,
-                         box_mode: Optional[str] = None):
+                         box_mode: Optional[str] = None,
+                         census_window: int = 5):
     """Disparity sweep over an EXTENDED ±1 disparity ring that also returns
     the 3x3 cost neighborhood of each winner for parabola subpixel.
 
@@ -407,19 +408,27 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
     costs from scratch per pixel; here they are exact rows of the cost volume
     the integer sweep already computed, extracted by a fused one-hot
     contraction — no per-pixel gather, no extra box sums.
+
+    Census costs are supported too: the patches are then census (hamming)
+    costs, a deliberate deviation from the reference, whose parabola
+    re-evaluates ABSOLUTE costs no matter what the correlator used — a
+    hard-coded choice its own comment questions (ParabolaSubpixelView.cc:
+    49-51 "TODO: Why is this hard-coded to a cost function that we did not
+    use"). Fitting the quadratic on the costs that actually chose the winner
+    is both cheaper (no warp gather) and self-consistent; near tile borders
+    census codes see one extra pixel of real margin versus the plain sweep,
+    so disp may differ within the census half-window of a tile edge.
     """
     if box_mode is None:
         box_mode = _BOX_MODE
-    if cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE):
-        raise ArgumentErr("_search_with_patches supports AD/SD costs only")
+    if cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
+                         CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+        raise ArgumentErr("_search_with_patches: unsupported cost "
+                          f"{cost_type!r}")
     h, w = left.shape
     out_h, out_w = h - kh + 1, w - kw + 1
     sx_e, sy_e = sx + 2, sy + 2
     n_ext = sx_e * sy_e
-    if cost_type == ABSOLUTE_DIFFERENCE:
-        cost_fn = lambda r: jnp.abs(left - r)              # noqa: E731
-    else:
-        cost_fn = lambda r: (left - r) * (left - r)        # noqa: E731
     # Materialize the extended box-summed volume, reduce over the interior
     # planes, then extract the 3x3 winner neighborhoods by two one-hot
     # contraction stages (rows, then columns). Alternatives measured SLOWER
@@ -428,11 +437,35 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
     # patches = 15.6 Mp/s (the scan rewrites a (9, oh, ow) carry per plane);
     # a fused-in-theory where+sum over (n, 9, oh, ow) = 11.7 Mp/s (XLA
     # materializes the broadcast); this version = 18.9 Mp/s.
+    if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+        lq = jnp.clip(left * 255.0, 0, 255).astype(jnp.int32)
+        rq = jnp.clip(right * 255.0, 0, 255).astype(jnp.int32)
+        xform = (census_transform if cost_type == CENSUS_TRANSFORM
+                 else ternary_census_transform)
+        lcodes = xform(lq, census_window)
+        rcodes = xform(rq, census_window)
+        nw = rcodes.shape[-1]
+
+        def plane_cost(dd):
+            code = lax.slice(rcodes, (dd // sx_e, dd % sx_e, 0),
+                             (dd // sx_e + h, dd % sx_e + w, nw))
+            return hamming_distance(lcodes, code).astype(jnp.float32)
+
+        def make_chunk(d0, n):
+            return jnp.stack([plane_cost(dd) for dd in range(d0, d0 + n)])
+    else:
+        if cost_type == ABSOLUTE_DIFFERENCE:
+            cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
+        else:
+            cost_fn = lambda r: (left - r) * (left - r)    # noqa: E731
+
+        def make_chunk(d0, n):
+            return _volume_chunk_static(cost_fn, right, sx_e, d0, n, h, w)
+
     planes = []
     for d0 in range(0, n_ext, chunk):
         n = min(chunk, n_ext - d0)
-        vol_c = _volume_chunk_static(cost_fn, right, sx_e, d0, n, h, w)
-        planes.append(_box_sum_volume(vol_c, kw, kh, box_mode))
+        planes.append(_box_sum_volume(make_chunk(d0, n), kw, kh, box_mode))
     vol = jnp.concatenate(planes, axis=0)                  # (n_ext, oh, ow)
     ve = vol.reshape(sy_e, sx_e, out_h, out_w)
 

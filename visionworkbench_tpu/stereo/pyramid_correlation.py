@@ -158,9 +158,10 @@ def _tiled_search(base, match, offsets, tile: int, s_x: int, s_y: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "s_x", "s_y", "kw", "kh",
-                                             "cost_type"))
+                                             "cost_type", "census_window"))
 def _tiled_search_patches(base, match, offsets, tile: int, s_x: int, s_y: int,
-                          kw: int, kh: int, cost_type: str):
+                          kw: int, kh: int, cost_type: str,
+                          census_window: int = 5):
     """:func:`_tiled_search` variant that also returns the 3x3 cost
     neighborhood of every winner (for parabola subpixel; see
     ``_search_with_patches``). ``match`` must be the level frame cropped with
@@ -181,7 +182,8 @@ def _tiled_search_patches(base, match, offsets, tile: int, s_x: int, s_y: int,
         rtile = lax.dynamic_slice(
             match, (ty * tile + off[1], tx * tile + off[0]), (rh, rw))
         disp, valid, _, patch = _search_with_patches(
-            ltile, rtile, s_x, s_y, kw, kh, cost_type, chunk)
+            ltile, rtile, s_x, s_y, kw, kh, cost_type, chunk,
+            census_window=census_window)
         return disp + off[None, None, :], valid, patch
 
     tys = jnp.repeat(jnp.arange(nty), ntx)
@@ -354,14 +356,18 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         raise ArgumentErr(f"unknown engine {engine!r}")
     use_pallas = (engine == "pallas" and not sgm_mode
                   and cost_type in (ABSOLUTE_DIFFERENCE, "sq"))
-    # Parabola subpixel via cost-volume reuse: the reference re-evaluates the
-    # nine SAD window costs per pixel (ParabolaSubpixelView.cc:40-344); when
-    # the correlator cost IS windowed SAD on the same prefiltered images,
-    # those nine costs are exact entries of the level-0 cost volume — extract
-    # them during the sweep instead of re-deriving them with a per-pixel warp
-    # gather + nine box sums (~12 ms/Mpx on v5e).
+    # Parabola subpixel via cost-volume reuse: the reference re-evaluates
+    # nine ABSOLUTE window costs per pixel no matter what cost the correlator
+    # used — a hard-coded choice its own comment questions
+    # (ParabolaSubpixelView.cc:49-51). Here the nine costs are exact entries
+    # of the level-0 cost volume the sweep already computed (AD/SD/census),
+    # extracted during the sweep instead of re-derived with a per-pixel warp
+    # gather + nine box sums (~12 ms/Mpx on v5e; the census config measured
+    # 58.6 -> 68.7 Mp/s from this, same-day pair). Set VWTPU_PARA_PATCHES=0
+    # for the reference-exact SAD re-evaluation fallback.
     use_patches = (subpixel == "parabola" and not sgm_mode and not use_pallas
-                   and cost_type == ABSOLUTE_DIFFERENCE
+                   and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
+                                     "ternary_census")
                    and os.environ.get("VWTPU_PARA_PATCHES", "1") == "1")
 
     if sgm_mode:
@@ -526,7 +532,8 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             mbase_p = crop_extended(right_pyr[level], lx0 - 1, ly0 - 1,
                                     mw + 2, mh + 2, mode="constant")
             disp, valid, patches = _tiled_search_patches(
-                lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh, cost_type)
+                lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
+                cost_type, census_window=census_window)
             patches = patches[:out_h, :out_w]
         else:
             disp, valid = _level_search(lbase, mbase, offsets, t,
