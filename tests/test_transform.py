@@ -107,3 +107,55 @@ def test_transform_grid_matches_exact(rng):
     approx = np.asarray(transform_grid(img, reverse_np, (64, 64), grid_step=8))
     # affine map is exactly reproduced by bilinear grid interpolation
     np.testing.assert_allclose(approx, exact, atol=1e-4)
+
+
+@pytest.mark.parametrize("interp", ["nearest", "bilinear", "bicubic"])
+@pytest.mark.parametrize("edge", ["zero", "constant", "value"])
+def test_banded_warp_matches_gather(rng, monkeypatch, interp, edge):
+    """The gather-free banded warp (sample_banded) must reproduce the gather
+    path exactly for displacement-bounded maps — same taps, same weights."""
+    img = rng.random((57, 63)).astype(np.float32)
+    txs = [
+        HomographyTransform(np.array([[1.0, 0.01, 4.0],
+                                      [-0.008, 1.0, 2.0],
+                                      [1e-5, 0.0, 1.0]])),
+        AffineTransform(np.array([[1.01, 0.02], [-0.015, 0.99]]),
+                        np.array([2.4, -1.7])),
+        TranslateTransform(100.25, -3.75),  # wide translation, 2x2 band
+    ]
+    for tx in txs:
+        monkeypatch.setenv("VWTPU_BANDED_WARP", "1")
+        b = np.asarray(transform(img, tx, (50, 61), interp, edge, 0.5))
+        monkeypatch.setenv("VWTPU_BANDED_WARP", "0")
+        g = np.asarray(transform(img, tx, (50, 61), interp, edge, 0.5))
+        np.testing.assert_allclose(b, g, rtol=0, atol=1e-5)
+
+
+def test_banded_warp_channels_and_grid(rng, monkeypatch):
+    """Banded path with a channel image, and transform_grid's banded route."""
+    img = rng.random((40, 44, 3)).astype(np.float32)
+    tx = AffineTransform(np.array([[0.995, 0.01], [0.005, 1.01]]),
+                         np.array([1.2, 0.8]))
+    monkeypatch.setenv("VWTPU_BANDED_WARP", "1")
+    b = np.asarray(transform(img, tx, None, "bilinear", "constant"))
+    monkeypatch.setenv("VWTPU_BANDED_WARP", "0")
+    g = np.asarray(transform(img, tx, None, "bilinear", "constant"))
+    np.testing.assert_allclose(b, g, rtol=0, atol=1e-5)
+
+    def rev(x, y):
+        return x + 0.003 * y + 2.0, y - 0.002 * x + 1.0
+
+    monkeypatch.setenv("VWTPU_BANDED_WARP", "1")
+    bg = np.asarray(transform_grid(img[..., 0], rev, (40, 44), grid_step=8))
+    monkeypatch.setenv("VWTPU_BANDED_WARP", "0")
+    gg = np.asarray(transform_grid(img[..., 0], rev, (40, 44), grid_step=8))
+    np.testing.assert_allclose(bg, gg, rtol=0, atol=1e-5)
+
+
+def test_banded_warp_fallback_wide_band(rng):
+    """Resample-style maps exceed the band cap and must fall back (and stay
+    correct): a 2x downsample's displacement grows with the image."""
+    img = rng.random((48, 48)).astype(np.float32)
+    out = np.asarray(resample(img, 0.5))
+    assert out.shape == (24, 24)
+    assert np.isfinite(out).all()

@@ -14,11 +14,13 @@ math on the host).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from visionworkbench_tpu.core.exceptions import ArgumentErr
 from visionworkbench_tpu.math.bbox import BBox2, BBox2i
@@ -52,6 +54,12 @@ def transform(src, tx, out_shape: Optional[Tuple[int, int]] = None,
     reverse = tx.reverse if isinstance(tx, Transform2D) else tx
     xs, ys = _dest_grid(oh, ow)
     sx, sy = reverse(xs, ys)
+    if (isinstance(tx, Transform2D)
+            and os.environ.get("VWTPU_BANDED_WARP", "1") == "1"):
+        band = _displacement_band(tx, oh, ow, interp)
+        if band is not None:
+            return sample_banded(src, sx, sy, band[0], band[1], interp=interp,
+                                 edge=edge, edge_value=edge_value)
     return sample(src, sx, sy, interp=interp, edge=edge, edge_value=edge_value)
 
 
@@ -69,6 +77,155 @@ def sample(src, sx, sy, interp: str = "bilinear", edge: str = "zero",
         inside = ((sx > -buf) & (sx < w - 1 + buf) &
                   (sy > -buf) & (sy < h - 1 + buf))
         fill = 0.0 if edge == "zero" else edge_value
+        if out.ndim == 3:
+            inside = inside[..., None]
+        out = jnp.where(inside, out, jnp.asarray(fill, out.dtype))
+    return out
+
+
+# taps of each interpolation kernel relative to the base index floor(s)
+# (floor(s + 0.5) for nearest); weights are functions of the fractional part.
+_TAPS = {
+    "nearest": (0, 0),
+    "bilinear": (0, 1),
+    "bicubic": (-1, 2),
+}
+_BAND_CAP = int(os.environ.get("VWTPU_BAND_CAP", "700"))
+
+
+def _displacement_band(tx: Transform2D, oh: int, ow: int, interp: str):
+    """Host-side integer bounds of the reverse map's displacement
+    ``floor(s) - dest`` over the output grid, or None when the banded
+    formulation does not apply (degenerate map, too-wide band, unknown
+    interp).
+
+    The transform is a static host object, so the bounds are exact up to
+    grid sampling; a dense grid + ±2 margin covers the mild curvature of
+    projective maps (affine maps are exact from the corners alone).
+    """
+    if interp not in _TAPS:
+        return None
+    m = np.asarray(tx._inv, np.float64)
+    # Sample corners exactly; interior on a dense grid for projective terms.
+    npts = 2 if m[2, 0] == 0.0 and m[2, 1] == 0.0 else 513
+    gx, gy = np.meshgrid(np.linspace(0.0, ow - 1.0, npts),
+                         np.linspace(0.0, oh - 1.0, npts))
+    wn = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+    if not np.all(np.isfinite(wn)) or np.min(np.abs(wn)) < 1e-8 \
+            or np.min(wn) * np.max(wn) <= 0:
+        return None  # horizon line crosses (or grazes) the output grid
+    sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / wn
+    sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / wn
+    if not (np.all(np.isfinite(sx)) and np.all(np.isfinite(sy))):
+        return None
+    margin = 0 if npts == 2 else 2
+    half = 0.5 if interp == "nearest" else 0.0  # nearest base = floor(s+0.5)
+    dy = (int(np.floor((sy - gy).min() + half)) - margin,
+          int(np.floor((sy - gy).max() + half)) + margin)
+    dx = (int(np.floor((sx - gx).min() + half)) - margin,
+          int(np.floor((sx - gx).max() + half)) + margin)
+    t_lo, t_hi = _TAPS[interp]
+    n_shift_y = (dy[1] - dy[0]) + (t_hi - t_lo) + 1
+    n_shift_x = (dx[1] - dx[0]) + (t_hi - t_lo) + 1
+    if n_shift_y * n_shift_x > _BAND_CAP:
+        return None
+    return dy, dx
+
+
+def _axis_weights(s_rel, base_lo: int, base_hi: int, interp: str, ndim: int):
+    """Per-absolute-shift weight arrays for one axis.
+
+    ``s_rel`` = source coordinate minus destination index. Returns
+    ``{shift: weight_array}`` over shifts ``[base_lo + t_lo, base_hi + t_hi]``
+    where the weight at shift d collects every kernel tap t whose base index
+    ``floor(s_rel)`` equals ``d - t``.
+    """
+    t_lo, t_hi = _TAPS[interp]
+    if interp == "nearest":
+        b = jnp.floor(s_rel + 0.5)
+        taps = [(0, jnp.ones_like(s_rel))]
+    else:
+        b = jnp.floor(s_rel)
+        f = s_rel - b
+        if interp == "bilinear":
+            taps = [(0, 1.0 - f), (1, f)]
+        else:  # bicubic: reference Catmull-Rom taps (Interpolation.h:155-158)
+            s0 = ((2 - f) * f - 1) * f
+            s1 = (3 * f - 5) * f * f + 2
+            s2 = ((4 - 3 * f) * f + 1) * f
+            s3 = (f - 1) * f * f
+            taps = [(-1, s0), (0, s1), (1, s2), (2, s3)]
+    b = jnp.clip(b, base_lo, base_hi)
+    weights = {}
+    for d in range(base_lo + t_lo, base_hi + t_hi + 1):
+        w = None
+        for t, wt in taps:
+            lo, hi = base_lo + t, base_hi + t
+            if not (lo <= d <= hi):
+                continue
+            term = jnp.where(b == d - t, wt, 0.0)
+            w = term if w is None else w + term
+        if ndim == 3:
+            w = w[..., None]
+        weights[d] = w
+    return weights
+
+
+def sample_banded(src, sx, sy, dy_bounds: Tuple[int, int],
+                  dx_bounds: Tuple[int, int], interp: str = "bilinear",
+                  edge: str = "zero", edge_value: float = 0.0):
+    """Exact warp sampling for displacement-bounded maps, without gathers.
+
+    Same semantics as :func:`sample`, but requires static integer bounds on
+    the displacement ``floor(s) - dest`` per axis (``floor(s + 0.5)`` for
+    nearest). The 2D gather — ~11 ms/Mpx on this toolchain — becomes a
+    shifted-slice stencil: for every absolute shift (d, e) in the band, the
+    output accumulates ``wy_d * wx_e * src[Y + d, X + e]``, where the per-axis
+    weights select the kernel taps whose base index lands on that shift.
+    Identical results to :func:`sample` (same taps, same weights); the band
+    merely enumerates where the taps can fall.
+    """
+    src = jnp.asarray(src)
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    oh, ow = sx.shape
+    h, w = src.shape[0], src.shape[1]
+    t_lo, t_hi = _TAPS[interp]
+    d_lo, d_hi = dy_bounds[0] + t_lo, dy_bounds[1] + t_hi
+    e_lo, e_hi = dx_bounds[0] + t_lo, dx_bounds[1] + t_hi
+    top = max(0, -d_lo)
+    bot = max(0, (oh - 1 + d_hi) - (h - 1))
+    left = max(0, -e_lo)
+    right = max(0, (ow - 1 + e_hi) - (w - 1))
+    fill = edge_value if edge == "value" else 0.0
+    pad_mode = "value" if edge == "value" else edge
+    padded = edge_extend(src, x_pad=(left, right), y_pad=(top, bot),
+                         mode=pad_mode, value=fill)
+    ph, pw = padded.shape[0], padded.shape[1]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+    wy = _axis_weights(sy - ys, *dy_bounds, interp, src.ndim)
+    wx = _axis_weights(sx - xs, *dx_bounds, interp, src.ndim)
+
+    tail = (padded.shape[2],) if src.ndim == 3 else ()
+    zeros = (0,) if src.ndim == 3 else ()
+    out = None
+    for d in range(d_lo, d_hi + 1):
+        inner = None
+        for e in range(e_lo, e_hi + 1):
+            plane = lax.slice(padded, (d + top, e + left) + zeros,
+                              (d + top + oh, e + left + ow) + tail)
+            term = wx[e] * plane
+            inner = term if inner is None else inner + term
+        term = wy[d] * inner
+        out = term if out is None else out + term
+    if interp == "bicubic":
+        out = out * 0.25
+    if edge in ("zero", "value"):
+        buf = pixel_buffer(interp) + 1
+        inside = ((sx > -buf) & (sx < w - 1 + buf) &
+                  (sy > -buf) & (sy < h - 1 + buf))
         if out.ndim == 3:
             inside = inside[..., None]
         out = jnp.where(inside, out, jnp.asarray(fill, out.dtype))
@@ -131,4 +288,21 @@ def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
     fy = ys / grid_step
     sx = interpolate(sxg, fx, fy, "bilinear")
     sy = interpolate(syg, fx, fy, "bilinear")
+    # The full-res coordinates are bilinear blends of the host grid values,
+    # so their displacement bounds follow from the grid (+1 safety margin) —
+    # use the gather-free banded sampler when the band is narrow enough.
+    if (interp in _TAPS
+            and os.environ.get("VWTPU_BANDED_WARP", "1") == "1"
+            and np.all(np.isfinite(sx_g)) and np.all(np.isfinite(sy_g))):
+        half = 0.5 if interp == "nearest" else 0.0
+        dxg = sx_g - gxx + half
+        dyg = sy_g - gyy + half
+        dy_b = (int(np.floor(dyg.min())) - 1, int(np.floor(dyg.max())) + 1)
+        dx_b = (int(np.floor(dxg.min())) - 1, int(np.floor(dxg.max())) + 1)
+        t_lo, t_hi = _TAPS[interp]
+        n_y = (dy_b[1] - dy_b[0]) + (t_hi - t_lo) + 1
+        n_x = (dx_b[1] - dx_b[0]) + (t_hi - t_lo) + 1
+        if n_y * n_x <= _BAND_CAP:
+            return sample_banded(src, sx, sy, dy_b, dx_b, interp=interp,
+                                 edge=edge)
     return sample(src, sx, sy, interp=interp, edge=edge)
