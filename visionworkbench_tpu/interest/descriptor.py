@@ -113,14 +113,25 @@ def _sgrad_descriptors(img, pts, grid: int, bins: int, size: int,
     g = jnp.exp(-0.5 * ((jnp.arange(size) - half) / (0.5 * size)) ** 2)
     weight = g[:, None] * g[None, :]
     mag = mag * weight[None]
-    # Cell index per pixel
+    # Histogram accumulation. The obvious scatter-add
+    # (hist.at[k, cell*bins + bin].add(mag)) lowers to a serialized TPU
+    # scatter costing ~7.5 ms per 512x41x41 support set — it dominated the
+    # whole detect+describe+match pipeline. The cell index is STATIC per
+    # pixel position (only the gradient bin is data-dependent), so the
+    # histogram decomposes into `bins` masked sums reduced over static cell
+    # blocks with tiny 0/1 segment matmuls (in-graph iotas; see CLAUDE.md on
+    # host-constant band matrices).
     cell = jnp.minimum((jnp.arange(size) * grid) // size, grid - 1)
-    cell_y = cell[:, None] * grid
-    cell_x = cell[None, :]
-    cell_idx = (cell_y + cell_x)                      # (size, size)
-    flat_idx = cell_idx[None] * bins + bin_idx        # (K, size, size)
-    hist = jnp.zeros((k, grid * grid * bins), jnp.float32)
-    hist = hist.at[jnp.arange(k)[:, None, None], flat_idx].add(mag)
+    seg = (cell[:, None] == jnp.arange(grid)[None, :]).astype(jnp.float32)
+    cells_per_bin = []
+    for b in range(bins):
+        wb = jnp.where(bin_idx == b, mag, 0.0)            # (K, S, S)
+        colr = jnp.einsum("kij,jg->kig", wb, seg,
+                          precision=lax.Precision.HIGHEST)
+        cells = jnp.einsum("kig,ih->khg", colr, seg,
+                           precision=lax.Precision.HIGHEST)
+        cells_per_bin.append(cells)                       # (K, gy, gx)
+    hist = jnp.stack(cells_per_bin, axis=-1).reshape(k, grid * grid * bins)
     norm = jnp.sqrt((hist ** 2).sum(axis=1, keepdims=True))
     hist = hist / jnp.maximum(norm, 1e-12)
     hist = jnp.minimum(hist, 0.2)                     # SIFT-style clamp
