@@ -20,7 +20,8 @@ from collections import defaultdict
 import numpy as np
 
 
-def _run_traced(size: int, iters: int, logdir: str):
+def _run_traced(size: int, iters: int, logdir: str, cost: str = "abs",
+                census_window: int = 5):
     import jax
     import jax.numpy as jnp
     from visionworkbench_tpu.math.bbox import BBox2i
@@ -34,6 +35,7 @@ def _run_traced(size: int, iters: int, logdir: str):
 
     def forward(l, r):
         dm = pyramid_correlate(l, r, search, kernel_size=bench.KERNEL,
+                               cost_type=cost, census_window=census_window,
                                max_pyramid_levels=bench.LEVELS, tile_size=64,
                                subpixel="parabola")
         return dm.disparity, dm.valid
@@ -82,10 +84,14 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--cost", default="abs",
+                    help="cost_type for pyramid_correlate (abs/ncc/census/...)")
+    ap.add_argument("--census-window", type=int, default=5)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
     logdir = args.logdir or tempfile.mkdtemp(prefix="vwtpu_trace_")
-    _run_traced(args.size, args.iters, logdir)
+    _run_traced(args.size, args.iters, logdir, cost=args.cost,
+                census_window=args.census_window)
     _top_device_ops(logdir, args.top, args.iters)
 
 

@@ -42,6 +42,15 @@ CROSS_CORRELATION = "ncc"
 CENSUS_TRANSFORM = "census"
 TERNARY_CENSUS_TRANSFORM = "ternary_census"
 
+# Max per-pixel hamming cost (= code bits) per census variant/window — bounds
+# the integer range for the exact-bf16 box-sum path.
+_CENSUS_MAX_COST = {
+    (CENSUS_TRANSFORM, 3): 8, (CENSUS_TRANSFORM, 5): 24,
+    (CENSUS_TRANSFORM, 7): 48, (CENSUS_TRANSFORM, 9): 32,
+    (TERNARY_CENSUS_TRANSFORM, 3): 16, (TERNARY_CENSUS_TRANSFORM, 5): 48,
+    (TERNARY_CENSUS_TRANSFORM, 7): 62, (TERNARY_CENSUS_TRANSFORM, 9): 64,
+}
+
 COST_TYPES = (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE, CROSS_CORRELATION,
               CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM)
 
@@ -97,7 +106,30 @@ def _band_matrix(n_out: int, n_in: int, k: int):
     return ((ii >= oi) & (ii < oi + k)).astype(jnp.float32)
 
 
-def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
+def _exact_int_band_einsum(spec: str, band, x, xmax: int):
+    """Banded 0/1 einsum of an *integer-valued* fp32 operand, bit-exactly, in
+    single-pass bf16 MXU matmuls instead of fp32 HIGHEST's 6-pass split.
+
+    Exactness: integers up to 256 are exact in bf16 (8 significand bits), the
+    band is 0/1 (exact), and the MXU accumulates bf16 products in fp32, which
+    is exact for integer sums < 2^24. Operands over 256 are split into
+    ``x = 256*hi + lo`` words (each ≤ 256, exact) and recombined — 2 passes.
+    Used for census hamming costs (≤ 64); measured end-to-end before wiring
+    in (tools_bench_configs config 4)."""
+    bb = band.astype(jnp.bfloat16)
+    if xmax <= 256:
+        return jnp.einsum(spec, bb, x.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    hi = jnp.floor(x * (1.0 / 256.0))
+    lo = x - hi * 256.0
+    return (jnp.einsum(spec, bb, hi.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * 256.0
+            + jnp.einsum(spec, bb, lo.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32))
+
+
+def _box_sum_volume(vol, kw: int, kh: int, box_mode: str,
+                    max_int: Optional[int] = None):
     """Separable 'valid' box sum over the trailing two axes of a (..., H, W)
     cost volume. ``box_mode``:
 
@@ -105,8 +137,21 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
     * ``"cumsum"`` — prefix-sum difference (O(1)/px; fp32 cancellation is
       benign at correlation-window magnitudes)
     * ``"mxu"``    — banded 0/1 matmuls on the MXU (fp32 HIGHEST)
+
+    ``max_int``: when the volume is integer-valued with values in
+    ``[0, max_int]`` (census hamming costs), the matmul modes switch to the
+    bit-exact single-pass bf16 path (:func:`_exact_int_band_einsum`).
     """
     h, w = vol.shape[-2], vol.shape[-1]
+    if not _CENSUS_BF16:
+        max_int = None
+    if box_mode == "mxu" and max_int is not None:
+        oh, ow = h - kh + 1, w - kw + 1
+        b_row = _band_matrix(oh, h, kh)
+        b_col = _band_matrix(ow, w, kw)
+        out = _exact_int_band_einsum("oh,...hw->...ow", b_row, vol, max_int)
+        return _exact_int_band_einsum("pw,...ow->...op", b_col, out,
+                                      max_int * kh)
     if box_mode in ("hybrid", "hybrid2"):
         # Mixed formulations: sublane (row) axis and lane (col) axis have
         # different fast paths on TPU; measure end-to-end per workload.
@@ -164,6 +209,13 @@ def _box_sum_volume(vol, kw: int, kh: int, box_mode: str):
 # (all 5 cost types; tests/test_correlation.py).
 _BOX_MODE = os.environ.get("VWTPU_BOX_MODE", "mxu")
 _UNROLL = os.environ.get("VWTPU_UNROLL", "1") == "1"
+# Exact single-pass bf16 MXU box sums for integer census costs (A/B knob;
+# bit-identical to the fp32 HIGHEST path — see _exact_int_band_einsum).
+# Default OFF: measured NEUTRAL on v5e (config 4 same-day A/B: 68.1 Mp/s
+# fp32-HIGHEST vs 67.3 bf16) — the banded volume matmuls are HBM-bound, so
+# cutting MXU passes 12 -> 3 buys nothing; kept for reuse on compute-bound
+# tile shapes.
+_CENSUS_BF16 = os.environ.get("VWTPU_CENSUS_BF16", "0") == "1"
 
 
 @functools.partial(jax.jit, static_argnames=("sx", "sy", "kw", "kh", "cost_type",
@@ -220,6 +272,9 @@ def _best_of_search(left, right, sx: int, sy: int, kw: int, kh: int,
                             rcodes, (dd // sx, dd % sx, 0), (h, w, nw))
                     rvol = jax.vmap(code_slc)(d0 + jnp.arange(n))
                 vol = hamming_distance(lcodes[None], rvol).astype(jnp.float32)
+                return _box_sum_volume(
+                    vol, kw, kh, box_mode,
+                    max_int=_CENSUS_MAX_COST[(cost_type, census_window)])
             else:
                 if cost_type == ABSOLUTE_DIFFERENCE:
                     cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
@@ -453,6 +508,8 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
 
         def make_chunk(d0, n):
             return jnp.stack([plane_cost(dd) for dd in range(d0, d0 + n)])
+
+        vol_max_int = _CENSUS_MAX_COST[(cost_type, census_window)]
     else:
         if cost_type == ABSOLUTE_DIFFERENCE:
             cost_fn = lambda r: jnp.abs(left - r)          # noqa: E731
@@ -462,10 +519,13 @@ def _search_with_patches(left, right, sx: int, sy: int, kw: int, kh: int,
         def make_chunk(d0, n):
             return _volume_chunk_static(cost_fn, right, sx_e, d0, n, h, w)
 
+        vol_max_int = None
+
     planes = []
     for d0 in range(0, n_ext, chunk):
         n = min(chunk, n_ext - d0)
-        planes.append(_box_sum_volume(make_chunk(d0, n), kw, kh, box_mode))
+        planes.append(_box_sum_volume(make_chunk(d0, n), kw, kh, box_mode,
+                                      max_int=vol_max_int))
     vol = jnp.concatenate(planes, axis=0)                  # (n_ext, oh, ow)
     ve = vol.reshape(sy_e, sx_e, out_h, out_w)
 
