@@ -136,3 +136,87 @@ def test_sgm_bad_args():
                            cost_type="abs")
     with pytest.raises(ArgumentErr):
         calc_disparity_sgm(left, jnp.zeros((10, 10)), (3, 1))  # wrong shape
+
+
+def test_sgm_poly4_subpixel(rng):
+    # poly4 mode (ref SgmSubpixelMode SUBPIXEL_POLY4, SGM.cc:1417-1419,
+    # (x^4+x)/4 ratio fit) — recovers an integer shift with small residual.
+    left, right = _pair(rng, shift=(3, 1), search=(6, 3))
+    dm = calc_disparity_sgm(left, right, (6, 3), kernel_size=5,
+                            subpixel="poly4")
+    disp = np.asarray(dm.disparity)
+    core = np.s_[6:-6, 6:-6]
+    err = np.abs(disp[core][..., 0] - 3)
+    assert np.median(err) < 0.5
+
+
+def test_sgm_left_mask_invalidates(rng):
+    # Real invalid outputs (ref ZERO_SEARCH_AREA, SGM.cc:241-470): pixels
+    # with left_mask == 0 are invalid, others stay valid.
+    left, right = _pair(rng, shift=(2, 1), search=(4, 3))
+    lmask = np.ones(left.shape, bool)
+    lmask[10:20, 15:30] = False
+    dm = calc_disparity_sgm(left, right, (4, 3), kernel_size=5,
+                            subpixel="none", left_mask=lmask)
+    valid = np.asarray(dm.valid)
+    assert not valid[10:20, 15:30].any()
+    assert valid[25:-6, 6:-6].all()
+    assert (np.asarray(dm.disparity)[10:20, 15:30] == 0).all()
+
+
+def test_sgm_prev_disparity_seeds(rng):
+    # Per-pixel bounds from a half-res seed (ref populate_disp_bound_image,
+    # SGM.cc:241-470): with a correct seed the restricted search recovers
+    # the shift; with a wrong trusted seed the window clamps around the
+    # seed and cannot reach the true disparity (proving the bounds bind).
+    from visionworkbench_tpu.stereo.correlation import DisparityMap
+    shift = (4, 2)
+    left, right = _pair(rng, h=48, w=56, shift=shift, search=(12, 5))
+    h, w = left.shape
+    hh, hw = (h + 1) // 2, (w + 1) // 2
+    good_seed = DisparityMap(
+        jnp.broadcast_to(jnp.array([shift[0] / 2, shift[1] / 2], jnp.float32),
+                         (hh, hw, 2)).astype(jnp.float32),
+        jnp.ones((hh, hw), bool))
+    dm = calc_disparity_sgm(left, right, (12, 5), kernel_size=5,
+                            subpixel="none", prev_disparity=good_seed,
+                            search_buffer=1)
+    disp = np.asarray(dm.disparity)
+    core = np.s_[6:-6, 6:-6]
+    correct = ((disp[core][..., 0] == shift[0]) &
+               (disp[core][..., 1] == shift[1]))
+    assert correct.mean() > 0.95
+
+    bad = DisparityMap(
+        jnp.broadcast_to(jnp.array([4.0, 1.0], jnp.float32),
+                         (hh, hw, 2)).astype(jnp.float32),
+        jnp.ones((hh, hw), bool))
+    dm2 = calc_disparity_sgm(left, right, (12, 5), kernel_size=5,
+                             subpixel="none", prev_disparity=bad,
+                             search_buffer=1)
+    disp2 = np.asarray(dm2.disparity)
+    # bad seed (dx=8 scaled) with buffer 1 cannot reach dx=4
+    assert (np.abs(disp2[core][..., 0] - 8) <= 1).all()
+
+
+def test_pyramid_sgm_mask_invalidates(rng):
+    # The pyramid SGM path invalidates masked pixels inside SGM itself.
+    from visionworkbench_tpu.math.bbox import BBox2i
+    from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+    h, w = 64, 64
+    shift = (3, 1)
+    ys, xs = np.mgrid[0:h + 3, 0:w + 7].astype(np.float32)
+    tex = (0.5 + 0.3 * np.sin(xs * 0.5) * np.cos(ys * 0.4)
+           + 0.2 * rng.random(xs.shape)).astype(np.float32)
+    left = tex[:h, :w]
+    right = np.array(rng.random((h + 3, w + 7)), np.float32)
+    right[shift[1]:shift[1] + h, shift[0]:shift[0] + w] = left
+    lmask = np.ones((h, w), bool)
+    lmask[20:30, 10:40] = False
+    dm = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                           BBox2i(0, 0, 8, 4), stereo_algorithm="sgm",
+                           left_mask=lmask, max_pyramid_levels=1,
+                           tile_size=16, subpixel="none")
+    valid = np.asarray(dm.valid)
+    assert not valid[20:30, 10:40].any()
+    assert valid[40:-8, 8:-8].mean() > 0.8

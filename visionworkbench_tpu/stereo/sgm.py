@@ -62,7 +62,19 @@ _P2_TABLE = {("census", 3): 70, ("census", 5): 750, ("census", 7): 1500,
              ("ternary_census", 3): 600, ("ternary_census", 5): 1500,
              ("ternary_census", 7): 2000, ("ternary_census", 9): 2000}
 
-SUBPIXEL_MODES = ("none", "parabola", "linear", "cosine", "lc_blend")
+SUBPIXEL_MODES = ("none", "parabola", "linear", "poly4", "cosine", "lc_blend")
+
+# Pseudoinverse of the 9-point quadratic design matrix (rows [x^2 y^2 xy x y 1]
+# at (x, y) in [-1,1]^2, x fastest) — ref ParabolaFit2d, SGMAssist.h:86-94.
+import numpy as _np
+_PINV_A_SGM = _np.array([
+    [1/6, -1/3, 1/6, 1/6, -1/3, 1/6, 1/6, -1/3, 1/6],    # a
+    [1/6, 1/6, 1/6, -1/3, -1/3, -1/3, 1/6, 1/6, 1/6],    # b
+    [1/4, 0.0, -1/4, 0.0, 0.0, 0.0, -1/4, 0.0, 1/4],     # c
+    [-1/6, 0.0, 1/6, -1/6, 0.0, 1/6, -1/6, 0.0, 1/6],    # d
+    [-1/6, -1/6, -1/6, 0.0, 0.0, 0.0, 1/6, 1/6, 1/6],    # e
+    [-1/9, 2/9, -1/9, 2/9, 5/9, 2/9, -1/9, 2/9, -1/9],   # f
+], dtype=_np.float32)
 
 
 def _census_cost_volume(left_u8, right_u8, sx: int, sy: int, window: int,
@@ -248,35 +260,76 @@ def _mgm_aggregate(cost, img, p1: float, p2: float):
             jnp.flip(jnp.flip(out[3], 0), 1))
 
 
-def _subpixel_1d(sm1, s0, sp1, mode: str):
-    """1D subpixel offset from three costs (ref SGM subpixel modes)."""
-    denom = sm1 - 2 * s0 + sp1
-    para = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (sm1 - sp1) / denom, 0.0)
-    if mode == "parabola":
-        off = para
-    elif mode == "linear":
-        # Two-plane (V-shape) fit: offset toward the smaller side.
-        off = 0.5 * (sm1 - sp1) / jnp.maximum(
-            jnp.maximum(sm1, sp1) - s0, 1e-9)
+def _subpixel_1d(sm1, s0, sp1, mode: str, left_bound, right_bound):
+    """1D subpixel offset from three accumulated costs, the reference's exact
+    ratio framework (``compute_subpixel_offset``, SGM.cc:1445-1479): with
+    ``ld = prev-center`` and ``rd = next-center``, fit the ratio
+    ``x = smaller/larger`` and return ``(fit(x) - 0.5) * direction``. Fits
+    (SGM.cc:1411-1437): linear ``x/2``, poly4 ``(x^4+x)/4``, cosine
+    ``1-cos(x*pi/3)``, lc_blend factor-blended cosine/linear. At search-range
+    bounds the two-value interpolation applies (``two_value_subpixel``,
+    SGM.cc:1440-1443). Center is the volume argmin, so ld, rd >= 0."""
+    ld = sm1 - s0
+    rd = sp1 - s0
+    both_zero = (ld == 0) & (rd == 0)
+    use_pos = ld < rd
+    x = jnp.where(use_pos,
+                  ld / jnp.where(rd == 0, 1.0, rd),
+                  rd / jnp.where(ld == 0, 1.0, ld))
+    mult = jnp.where(use_pos, 1.0, -1.0)
+    linear = 0.5 * x
+    if mode == "linear":
+        value = linear
+    elif mode == "poly4":
+        value = (x * x * x * x + x) * 0.25
     elif mode == "cosine":
-        denom2 = jnp.maximum(sm1 + sp1 - 2 * s0, 1e-9)
-        z = jnp.clip((sm1 - sp1) / denom2, -1.0, 1.0)
-        off = jnp.arcsin(z) * (2.0 / jnp.pi)
+        value = 1.0 - jnp.cos(x * (jnp.pi / 3.0))
     elif mode == "lc_blend":
-        lin = 0.5 * (sm1 - sp1) / jnp.maximum(
-            jnp.maximum(sm1, sp1) - s0, 1e-9)
-        denom2 = jnp.maximum(sm1 + sp1 - 2 * s0, 1e-9)
-        z = jnp.clip((sm1 - sp1) / denom2, -1.0, 1.0)
-        cos = jnp.arcsin(z) * (2.0 / jnp.pi)
-        off = 0.5 * (lin + cos)
+        factor = 1.195 - jnp.cos(x * (jnp.pi / 2.3))
+        cosv = 1.0 - jnp.cos(x * (jnp.pi / 3.0))
+        value = cosv * factor + linear * (1.0 - factor)
     else:
-        off = jnp.zeros_like(s0)
-    return jnp.clip(off, -0.95, 0.95)
+        raise ArgumentErr(f"_subpixel_1d: unknown 1D mode {mode!r}")
+    off = (value - 0.5) * mult
+    # Range-bound pixels: interpolate toward the interior from two values.
+    off = jnp.where(left_bound, 0.5 * s0 / jnp.maximum(sp1, 1e-9), off)
+    off = jnp.where(right_bound, -0.5 * s0 / jnp.maximum(sm1, 1e-9), off)
+    return jnp.where(both_zero | (left_bound & right_bound), 0.0, off)
+
+
+def _parabola_2d(z, dx, dy, sx: int, sy: int):
+    """The reference SGM parabola: 2D 9-point quadratic fit + erf squashing +
+    norm clamp at 0.5; |denom| < 0.01 keeps the integer disparity
+    (``ParabolaFit2d::find_peak``, SGMAssist.h:97-135). ``z``: (H, W, 9),
+    dx fastest."""
+    v = jnp.einsum("ij,hwj->hwi", jnp.asarray(_PINV_A_SGM), z)
+    a, b, c, d, e = v[..., 0], v[..., 1], v[..., 2], v[..., 3], v[..., 4]
+    denom = 4.0 * a * b - c * c
+    ok = jnp.abs(denom) >= 0.01
+    safe = jnp.where(ok, denom, 1.0)
+    ox = (c * e - 2.0 * b * d) / safe
+    oy = (c * d - 2.0 * a * e) / safe
+    sqrt2 = jnp.sqrt(jnp.float32(2.0))
+    ox = jax.scipy.special.erf(ox / (0.34574 * sqrt2)) * 0.5
+    oy = jax.scipy.special.erf(oy / (0.38944 * sqrt2)) * 0.5
+    norm = jnp.sqrt(ox * ox + oy * oy)
+    scale = jnp.where(norm >= 0.5, norm / 0.5, 1.0)
+    ox = jnp.where(ok, ox / scale, 0.0)
+    oy = jnp.where(ok, oy / scale, 0.0)
+    return ox, oy
 
 
 def _volume_argmin_subpixel(acc, subpixel: str):
-    """WTA argmin over the aggregated volume (H, W, sy, sx) + optional 1D
-    subpixel fits along dx and dy (ref ``SgmSubpixelMode`` handling)."""
+    """WTA argmin over the aggregated volume (H, W, sy, sx) + subpixel
+    (ref ``create_disparity_view_subpixel``, SGM.cc:1498-1605): 2D 9-point
+    parabola fit for ``parabola``, per-axis ratio interpolation with
+    two-value bound handling for the 1D modes.
+
+    Bound flags come from the volume edge OR a masked (>= BIG/2) neighbor —
+    the latter reproduces the reference's per-pixel disparity-range bounds
+    (``m_disp_bound_image``): candidates outside a pixel's allowed window
+    carry BIG costs, so their neighbors interpolate as range-bounded, exactly
+    like the reference's x_left=0 / two-value path at bounds."""
     h, w, sy, sx = acc.shape
     flat = acc.reshape(h, w, sy * sx)
     best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
@@ -286,62 +339,130 @@ def _volume_argmin_subpixel(acc, subpixel: str):
     if subpixel == "none":
         return disp.astype(jnp.float32), flat
     padded = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    # The 3x3 neighborhood of each winner, z[0..8] with dx fastest
+    # (z[4] = center). Fused select-chain over the (small) padded volume:
+    # per-pixel gathers cost ~3.5 ms per 0.26 Mpx plane on this toolchain
+    # (five gathers dominated the whole SGM profile in round 1); the static
+    # loop fuses into one elementwise pass.
     if (sy + 2) * (sx + 2) <= 256:
-        # Fused select-chain over the (small) padded volume: per-pixel
-        # gathers cost ~3.5 ms per 0.26 Mpx plane on this toolchain (the
-        # five gathers dominated the whole SGM profile); the static loop
-        # fuses into one elementwise pass.
         zeros = jnp.zeros((h, w), acc.dtype)
-        s0 = sxm = sxp = sym = syp = zeros
+        z = [zeros] * 9
         for a in range(sy + 2):
-            ha = dy + 1 == a     # plane row a == dy + 1 (s0 / sxm / sxp)
-            ha_m = dy == a       # plane row a == dy     (sym: padded[.., dy, dx+1])
-            ha_p = dy + 2 == a   # plane row a == dy + 2 (syp)
+            rows = (dy == a, dy + 1 == a, dy + 2 == a)   # ddy = -1, 0, +1
             for b in range(sx + 2):
                 plane = padded[:, :, a, b]
-                hb = dx + 1 == b
-                s0 = jnp.where(ha & hb, plane, s0)
-                sxm = jnp.where(ha & (dx == b), plane, sxm)
-                sxp = jnp.where(ha & (dx + 2 == b), plane, sxp)
-                sym = jnp.where(ha_m & hb, plane, sym)
-                syp = jnp.where(ha_p & hb, plane, syp)
+                cols = (dx == b, dx + 1 == b, dx + 2 == b)
+                for jy in range(3):
+                    for jx in range(3):
+                        k = jy * 3 + jx
+                        z[k] = jnp.where(rows[jy] & cols[jx], plane, z[k])
     else:
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        s0 = padded[yy, xx, dy + 1, dx + 1]
-        sxm = padded[yy, xx, dy + 1, dx]
-        sxp = padded[yy, xx, dy + 1, dx + 2]
-        sym = padded[yy, xx, dy, dx + 1]
-        syp = padded[yy, xx, dy + 2, dx + 1]
-    off_x = jnp.where((dx > 0) & (dx < sx - 1),
-                      _subpixel_1d(sxm, s0, sxp, subpixel), 0.0)
-    off_y = jnp.where((dy > 0) & (dy < sy - 1),
-                      _subpixel_1d(sym, s0, syp, subpixel), 0.0)
+        z = [padded[yy, xx, dy + jy, dx + jx]
+             for jy in range(3) for jx in range(3)]
+    masked = [v >= _BIG / 2 for v in z]
+    left_b = (dx == 0) | masked[3]
+    right_b = (dx == sx - 1) | masked[5]
+    top_b = (dy == 0) | masked[1]
+    bot_b = (dy == sy - 1) | masked[7]
+    if subpixel == "parabola":
+        # Reference: at bounds the neighbor index collapses onto the center
+        # (x_left = 0 etc., SGM.cc:1545-1557) before the 2D fit.
+        zz = list(z)
+        for k in (0, 3, 6):
+            zz[k] = jnp.where(left_b, zz[k + 1], zz[k])
+        for k in (2, 5, 8):
+            zz[k] = jnp.where(right_b, zz[k - 1], zz[k])
+        for k in (0, 1, 2):
+            zz[k] = jnp.where(top_b, zz[k + 3], zz[k])
+        for k in (6, 7, 8):
+            zz[k] = jnp.where(bot_b, zz[k - 3], zz[k])
+        off_x, off_y = _parabola_2d(jnp.stack(zz, -1), dx, dy, sx, sy)
+    else:
+        off_x = _subpixel_1d(z[3], z[4], z[5], subpixel, left_b, right_b)
+        off_y = _subpixel_1d(z[1], z[4], z[7], subpixel, top_b, bot_b)
     return disp.astype(jnp.float32) + jnp.stack([off_x, off_y], -1), flat
+
+
+def _apply_pixel_bounds(cost, base, seed_disp, seed_valid, buffer: int,
+                        range_x: int, range_y: int):
+    """Per-pixel disparity bounds (ref ``m_disp_bound_image``, SGM.h:180-198,
+    seeded by ``populate_disp_bound_image``, SGM.cc:241-470): pixels with a
+    trusted previous-level seed restrict their candidates to
+    ``seed ± buffer`` — BIG cost outside the window, exactly the effect of
+    the reference's compact per-pixel cost buffers (absent candidates are
+    +inf to every path update). Untrusted pixels (invalid seed, or a seed on
+    the edge of a wide search range, SGM.cc:372-384) keep the full window.
+
+    ``cost`` (H, W, ry, rx) relative volume; ``base`` (H, W, 2) absolute
+    offset of each pixel's window. The seed window is CLAMPED into the
+    available window like the reference clamps bounds to the global limits
+    (SGM.cc:421-426) — it is never empty, so bounds alone never invalidate
+    (the reference's ZERO_SEARCH_AREA comes from masks, which the callers
+    apply). Returns the masked cost."""
+    ry, rx = cost.shape[-2], cost.shape[-1]
+    sdx = jnp.round(seed_disp[..., 0]).astype(jnp.int32)
+    sdy = jnp.round(seed_disp[..., 1]).astype(jnp.int32)
+    on_edge = jnp.zeros_like(seed_valid)
+    if range_x >= 10:   # only distrust edges when the range can spare a band
+        on_edge = on_edge | (sdx <= 0) | (sdx >= range_x - 1)
+    if range_y >= 10:
+        on_edge = on_edge | (sdy <= 0) | (sdy >= range_y - 1)
+    trusted = seed_valid & ~on_edge
+    lo_x = jnp.clip(sdx - buffer, base[..., 0], base[..., 0] + rx - 1)
+    hi_x = jnp.clip(sdx + buffer, base[..., 0], base[..., 0] + rx - 1)
+    lo_y = jnp.clip(sdy - buffer, base[..., 1], base[..., 1] + ry - 1)
+    hi_y = jnp.clip(sdy + buffer, base[..., 1], base[..., 1] + ry - 1)
+    ix = jnp.arange(rx, dtype=jnp.int32)
+    iy = jnp.arange(ry, dtype=jnp.int32)
+    ax = base[..., 0:1] + ix[None, None, :]          # (H, W, rx) absolute dx
+    ay = base[..., 1:2] + iy[None, None, :]
+    ok_x = (ax >= lo_x[..., None]) & (ax <= hi_x[..., None])
+    ok_y = (ay >= lo_y[..., None]) & (ay <= hi_y[..., None])
+    allowed = ok_y[..., :, None] & ok_x[..., None, :]
+    allowed = allowed | ~trusted[..., None, None]
+    return jnp.where(allowed, cost, _BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("sx", "sy", "window", "ternary",
                                              "thresh", "use_mgm", "subpixel",
-                                             "p1", "p2"))
+                                             "p1", "p2", "search_buffer"))
 def _sgm_core(left_u8, right_u8, sx: int, sy: int, window: int, ternary: bool,
-              thresh: int, p1: float, p2: float, use_mgm: bool, subpixel: str):
+              thresh: int, p1: float, p2: float, use_mgm: bool, subpixel: str,
+              seed_disp=None, seed_valid=None, search_buffer: int = 2,
+              lmask=None):
     h, w = left_u8.shape
     cost = _census_cost_volume(left_u8, right_u8, sx, sy, window, ternary, thresh)
+    valid = jnp.ones((h, w), bool)
+    if seed_disp is not None:
+        base = jnp.zeros((h, w, 2), jnp.int32)
+        cost = cost.reshape(h, w, sy, sx)
+        cost = _apply_pixel_bounds(cost, base, seed_disp, seed_valid,
+                                   search_buffer, sx, sy)
     img = left_u8.astype(jnp.float32)
     if use_mgm:
         acc = _mgm_aggregate(cost, img, p1, p2)
     else:
         acc = _sgm_aggregate(cost, img, p1, p2)
     fdisp, flat = _volume_argmin_subpixel(acc, subpixel)
-    return fdisp, jnp.ones((h, w), bool), flat
+    if lmask is not None:
+        valid = valid & lmask.astype(bool)
+    fdisp = jnp.where(valid[..., None], fdisp, 0.0)
+    return fdisp, valid, flat
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "rx", "ry", "window",
                                              "ternary", "thresh", "p1", "p2",
-                                             "use_mgm", "subpixel"))
+                                             "use_mgm", "subpixel",
+                                             "search_buffer", "range_x",
+                                             "range_y"))
 def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
                         window: int, ternary: bool, thresh: int,
-                        p1: float, p2: float, use_mgm: bool, subpixel: str):
+                        p1: float, p2: float, use_mgm: bool, subpixel: str,
+                        seed_disp=None, seed_valid=None,
+                        search_buffer: int = 2, range_x: int = 0,
+                        range_y: int = 0, lmask=None):
     """Pyramid-level SGM: per-tile base offsets + a static relative window.
 
     The reference seeds per-pixel disparity bounds from the previous pyramid
@@ -357,6 +478,16 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
     (nty, ntx, 2) int32 absolute (dx, dy) base per tile, pre-clamped to keep
     ``base + rel`` inside ``mbase``. Returns (disp (H, W, 2) float32,
     absolute in the level frame; valid (H, W) bool).
+
+    ``seed_disp``/``seed_valid`` ((H, W, 2) / (H, W)): PER-PIXEL previous-
+    level disparity seeds (upsampled). When given, each pixel's candidates
+    are restricted to ``seed ± search_buffer`` via BIG-cost masking of the
+    volume (ref ``m_disp_bound_image``, SGM.h:180-198; edge-of-range seeds
+    untrusted per SGM.cc:372-384 when the level range ``range_x``/``range_y``
+    is >= 10; the window clamps into the tile window like the reference
+    clamps to global limits, SGM.cc:421-426). Pixels masked by ``lmask``
+    come back INVALID — the reference's ZERO_SEARCH_AREA semantics, so SGM
+    produces real invalid outputs.
     """
     nty, ntx = offsets.shape[0], offsets.shape[1]
     out_h, out_w = nty * tile, ntx * tile
@@ -404,12 +535,19 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
     cost = (cost_t.reshape(nty, ntx, tile, tile, ry, rx)
             .transpose(0, 2, 1, 3, 4, 5).reshape(out_h, out_w, ry, rx))
 
+    valid = jnp.ones((out_h, out_w), bool)
+    if seed_disp is not None:
+        cost = _apply_pixel_bounds(cost, base, seed_disp, seed_valid,
+                                   search_buffer, range_x, range_y)
     if use_mgm:
         acc = _mgm_aggregate(cost, img, p1, p2)
     else:
         acc = _sgm_aggregate(cost, img, p1, p2)
     rel, _ = _volume_argmin_subpixel(acc, subpixel)
-    return rel + base.astype(jnp.float32), jnp.ones((out_h, out_w), bool)
+    if lmask is not None:
+        valid = valid & lmask.astype(bool)
+    disp = rel + base.astype(jnp.float32)
+    return jnp.where(valid[..., None], disp, 0.0), valid
 
 
 def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
@@ -419,11 +557,20 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
                        ternary_census_threshold: int = 2,
                        left_mask=None, right_mask=None,
                        memory_limit_mb: int = 6000,
-                       band_overlap: int = 32) -> DisparityMap:
+                       band_overlap: int = 32,
+                       prev_disparity: Optional[DisparityMap] = None,
+                       search_buffer: int = 2) -> DisparityMap:
     """SGM/MGM disparity (ref ``calc_disparity_sgm``, SGM.cc:167-229).
 
     ``left``: (H, W) f32 in [0, 1]; ``right``: (H+sy-1, W+sx-1). Returns
     float disparities (subpixel) in [0, sx) x [0, sy), left-image frame.
+
+    ``prev_disparity``: optional HALF-resolution disparity seed (the
+    reference's ``prev_disparity`` argument): each pixel's search is bounded
+    to ``2 * prev ± search_buffer`` (``populate_disp_bound_image``,
+    SGM.cc:241-470, SCALE_UP = 2); pixels with an invalid or edge-of-range
+    seed search the full window; pixels whose ``left_mask`` is 0 come back
+    INVALID (the reference's ZERO_SEARCH_AREA semantics).
 
     ``memory_limit_mb`` bounds the on-device working set like the
     reference's ``m_memory_limit_mb`` (SGM.h:167): when the aggregation
@@ -451,15 +598,29 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
     lq = jnp.clip(left * 255.0, 0, 255).astype(jnp.int32)
     rq = jnp.clip(right * 255.0, 0, 255).astype(jnp.int32)
 
+    seed_disp = seed_valid = None
+    if prev_disparity is not None:
+        from visionworkbench_tpu.stereo.disparity import disparity_upsample
+        up = disparity_upsample(prev_disparity)   # values x2, nearest x2
+        sd = jnp.zeros((h, w, 2), jnp.float32)
+        sv = jnp.zeros((h, w), bool)
+        ch = min(h, up.valid.shape[0])
+        cw = min(w, up.valid.shape[1])
+        seed_disp = sd.at[:ch, :cw].set(up.disparity[:ch, :cw].astype(jnp.float32))
+        seed_valid = sv.at[:ch, :cw].set(up.valid[:ch, :cw])
+
     # Working-set estimate: the dominant live tensors are the cost volume,
     # its per-scan transposed copy, the scan output, and the accumulator —
     # ~4x the (H, W, sy, sx) volume in f32 (MGM shears to ~2x width).
     vol_mb = h * w * sy * sx * 4 * (8 if use_mgm else 4) / 1e6
     n_bands = max(1, -(-int(vol_mb) // max(int(memory_limit_mb), 1)))
+    lmask = None if left_mask is None else jnp.asarray(left_mask).astype(bool)
     if n_bands == 1:
         disp, valid, _ = _sgm_core(lq, rq, sx, sy, int(kernel_size), ternary,
                                    int(ternary_census_threshold), p1v, p2v,
-                                   bool(use_mgm), subpixel)
+                                   bool(use_mgm), subpixel,
+                                   seed_disp, seed_valid,
+                                   int(search_buffer), lmask)
     else:
         ov = int(band_overlap)
         bh = -(-h // n_bands)
@@ -468,20 +629,33 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
         pad_bot = n_bands * bh - h
         lq_e = jnp.pad(lq, ((ov, pad_bot + ov), (0, 0)), mode="edge")
         rq_e = jnp.pad(rq, ((ov, pad_bot + ov), (0, 0)), mode="edge")
-        parts = []
+        def band_pad(a, fill):
+            return jnp.pad(a, ((ov, pad_bot + ov), (0, 0))
+                           + ((0, 0),) * (a.ndim - 2), constant_values=fill)
+        sd_e = None if seed_disp is None else band_pad(seed_disp, 0.0)
+        sv_e = None if seed_valid is None else band_pad(seed_valid, False)
+        lm_e = None if lmask is None else band_pad(lmask, True)
+        parts, vparts = [], []
         for b in range(n_bands):
             y0 = b * bh
             lb = lax.dynamic_slice(lq_e, (y0, 0), (bh + 2 * ov, w))
             rb = lax.dynamic_slice(rq_e, (y0, 0),
                                    (bh + 2 * ov + sy - 1, w + sx - 1))
-            d, _, _ = _sgm_core(lb, rb, sx, sy, int(kernel_size), ternary,
+            def bslice(a):
+                if a is None:
+                    return None
+                return lax.dynamic_slice(
+                    a, (y0, 0) + (0,) * (a.ndim - 2),
+                    (bh + 2 * ov, w) + a.shape[2:])
+            d, v, _ = _sgm_core(lb, rb, sx, sy, int(kernel_size), ternary,
                                 int(ternary_census_threshold), p1v, p2v,
-                                bool(use_mgm), subpixel)
+                                bool(use_mgm), subpixel,
+                                bslice(sd_e), bslice(sv_e),
+                                int(search_buffer), bslice(lm_e))
             parts.append(d[ov:ov + bh])
+            vparts.append(v[ov:ov + bh])
         disp = jnp.concatenate(parts, 0)[:h]
-        valid = jnp.ones((h, w), bool)
+        valid = jnp.concatenate(vparts, 0)[:h]
 
-    if left_mask is not None:
-        valid = valid & jnp.asarray(left_mask).astype(bool)
     disp = jnp.where(valid[..., None], disp, 0.0)
     return DisparityMap(disp, valid)
