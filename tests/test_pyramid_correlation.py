@@ -218,3 +218,41 @@ def test_parabola_census_patch_path(rng, monkeypatch):
     db = np.asarray(b.disparity)[core]
     q = (np.abs(db - true_d) < 0.25).all(-1)[vb].mean()
     assert q > 0.85
+
+
+def test_corr_timeout_degrades_not_fails(rng):
+    # ref m_corr_timeout (CorrelationView.cc:621-637): a tiny budget shrinks
+    # the search volume (degrading the result) instead of raising.
+    import jax.numpy as jnp
+    from visionworkbench_tpu.math.bbox import BBox2i
+    from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+    h, w, shift = 64, 64, (5, 2)
+    left = rng.random((h, w)).astype(np.float32)
+    right = rng.random((h + 3, w + 7)).astype(np.float32)
+    right[shift[1]:shift[1] + h, shift[0]:shift[0] + w] = left
+    kwargs = dict(kernel_size=(7, 7), max_pyramid_levels=1, subpixel="none")
+    full = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                             BBox2i(0, 0, 8, 4), **kwargs)
+    # huge s/op + 1 s budget -> every level clamps to a (1, 1) search
+    tiny = pyramid_correlate(jnp.asarray(left), jnp.asarray(right),
+                             BBox2i(0, 0, 8, 4), corr_timeout=1.0,
+                             seconds_per_op=1.0, **kwargs)
+    assert tiny.disparity.shape == full.disparity.shape
+    fd = np.asarray(full.disparity)[8:-8, 8:-8]
+    fv = np.asarray(full.valid)[8:-8, 8:-8]
+    assert ((fd[..., 0] == shift[0]) & (fd[..., 1] == shift[1]))[fv].mean() > 0.95
+    # the degraded run cannot reach dx=5 with a 1-wide search from offset 0
+    td = np.asarray(tiny.disparity)
+    assert (td[..., 0] <= 1).all()
+
+
+def test_budget_search_volume_unit():
+    from visionworkbench_tpu.stereo.cost_model import budget_search_volume
+    # disabled budget: unchanged
+    assert budget_search_volume(1000, (8, 4), 0.0, 1.0) == (8, 4)
+    # generous budget: unchanged
+    assert budget_search_volume(10, (8, 4), 1e9, 1e-9) == (8, 4)
+    # tight budget: shrinks toward (1, 1), larger axis first, never fails
+    assert budget_search_volume(1000, (8, 4), 1.0, 1.0) == (1, 1)
+    sx, sy = budget_search_volume(10, (8, 4), 10 * 8 * 2 + 1, 1.0)
+    assert sx * sy <= 16 and sx >= 1 and sy >= 1

@@ -55,22 +55,29 @@ def seconds_per_op() -> float:
     return _seconds_per_op
 
 
-def estimate_search_time(pixels: int, search_volume: Tuple[int, int]) -> float:
+def estimate_search_time(pixels: int, search_volume: Tuple[int, int],
+                         sec_per_op: Optional[float] = None) -> float:
     """Predicted seconds for a search (ref ``SearchParam::search_volume`` x
-    s/op)."""
-    return pixels * int(search_volume[0]) * int(search_volume[1]) * seconds_per_op()
+    s/op, CorrelationView.cc:621-624)."""
+    spo = seconds_per_op() if sec_per_op is None else float(sec_per_op)
+    return pixels * int(search_volume[0]) * int(search_volume[1]) * spo
 
 
 def budget_search_volume(pixels: int, search_volume: Tuple[int, int],
-                         corr_timeout: float) -> Tuple[int, int]:
+                         corr_timeout: float,
+                         sec_per_op: Optional[float] = None) -> Tuple[int, int]:
     """Shrink a (sx, sy) search so the predicted time fits ``corr_timeout``
     (<= 0 disables, like the reference). Shrinks the larger axis first,
     never below (1, 1) — degrading resolution of the search rather than
-    failing, matching the reference's timeout contract."""
+    failing, matching the reference's timeout contract
+    (``CorrelationView.cc:621-637``: the reference skips whole zones when
+    the estimate exceeds the budget; static shapes make a mid-flight skip
+    untraceable, so the degrade is applied to the search volume up front)."""
     sx, sy = int(search_volume[0]), int(search_volume[1])
     if corr_timeout <= 0:
         return sx, sy
-    while estimate_search_time(pixels, (sx, sy)) > corr_timeout and (sx > 1 or sy > 1):
+    while (estimate_search_time(pixels, (sx, sy), sec_per_op) > corr_timeout
+           and (sx > 1 or sy > 1)):
         if sx >= sy and sx > 1:
             sx = max(sx // 2, 1)
         elif sy > 1:

@@ -313,6 +313,8 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                       engine: str = "auto",
                       stereo_algorithm: str = "bm",
                       sgm_search_buffer: int = 2,
+                      corr_timeout: float = 0.0,
+                      seconds_per_op: Optional[float] = None,
                       keep_levels: bool = False) -> DisparityMap:
     """Full coarse-to-fine correlator (ref ``PyramidCorrelationView``,
     CorrelationView.cc:273-886; CLI: ``tools/correlate.cc:207-223``).
@@ -321,6 +323,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     absolute right-image offsets (``search_region.min`` already added, as the
     reference does at the end of ``prerasterize``). ``subpixel='parabola'``
     appends the 9-point quadratic refinement (``parabola_subpixel``).
+
+    ``corr_timeout`` (seconds, 0 disables) applies the reference's
+    degrade-not-fail time budget (``m_corr_timeout``,
+    CorrelationView.cc:621-637): per level, the predicted search time
+    (pixels x search volume x s/op, ``calc_seconds_per_op`` style) is charged
+    against the budget and the level's search volume is halved until it fits
+    — a tiny budget degrades the search instead of failing. ``seconds_per_op``
+    overrides the self-calibrated estimate (``Correlation.cc:377-429``).
 
     ``stereo_algorithm`` selects the per-level engine like the reference's
     ``CorrelationAlgorithm`` (CorrelationView.h:45, ``VW_CORRELATION_{BM,SGM,
@@ -382,13 +392,20 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         sgm_p1 = float(_P1_TABLE.get(tkey, 3))
         sgm_p2 = float(_P2_TABLE.get(tkey, 70))
 
-        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_):
+        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_,
+                          seeds=None, lmask_=None, ranges=(0, 0)):
+            sd, sv = (None, None) if seeds is None else seeds
             return sgm_relative_search(
                 lbase_, mbase_, offsets_, t_, sx_, sy_, int(census_window),
                 sgm_cost == "ternary_census", 2, sgm_p1, sgm_p2,
-                stereo_algorithm == "mgm", subpixel if last_ else "none")
+                stereo_algorithm == "mgm", subpixel if last_ else "none",
+                seed_disp=sd, seed_valid=sv,
+                search_buffer=int(sgm_search_buffer),
+                range_x=int(ranges[0]), range_y=int(ranges[1]),
+                lmask=lmask_)
     else:
-        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_):
+        def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_,
+                          seeds=None, lmask_=None, ranges=(0, 0)):
             if use_pallas:
                 from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
                 return pallas_tiled_search(lbase_, mbase_, offsets_, t_,
@@ -433,19 +450,38 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     rbase_h += rpad_h
     right_base = crop_extended(right_base, 0, 0, rbase_w, rbase_h, mode="constant")
 
-    # Masks over the padded frames (zero-extended) for mean-fill.
+    # Masks over the padded frames, REPLICATE-extended like the reference
+    # (CorrelationView.cc:110-117 crops the masks with ConstantEdgeExtension
+    # before the mean fill, so kernel padding counts as valid wherever the
+    # nearest real pixel is valid and keeps its replicated intensity instead
+    # of being mean-filled; the zero-extended masks below are only for the
+    # output-frame disparity_mask, matching :188-199).
     left_base_mask = crop_extended(left_mask, -off_x, -off_y, base_w, base_h,
-                                   mode="zero").astype(bool)
+                                   mode="constant").astype(bool)
     right_base_mask = crop_extended(right_mask, -off_x + smin_x, -off_y + smin_y,
-                                    rbase_w, rbase_h, mode="zero").astype(bool)
+                                    rbase_w, rbase_h, mode="constant").astype(bool)
 
-    # Mean-fill masked pixels (CorrelationView.cc:129-150).
-    def _mean_fill(img, mask):
-        cnt = jnp.maximum(jnp.sum(mask), 1)
-        mean = jnp.sum(jnp.where(mask, img, 0.0)) / cnt
+    # Mean-fill masked pixels (CorrelationView.cc:129-150). The reference's
+    # fill value is mean_pixel_value(subsample(masked_image, 2)) over the
+    # left_global/right_global frames — the EVEN-index valid pixels only, and
+    # not over this implementation's extra power-of-two alignment padding.
+    # Reproduced exactly (tests/test_oracle_parity.py): the even-index
+    # indicator is a fused elementwise op; a strided slice would lower to a
+    # gather on this toolchain.
+    def _mean_fill(img, mask, frame_h, frame_w):
+        iy = lax.broadcasted_iota(jnp.int32, img.shape, 0)
+        ix = lax.broadcasted_iota(jnp.int32, img.shape, 1)
+        sel = (mask & (iy % 2 == 0) & (ix % 2 == 0)
+               & (iy < frame_h) & (ix < frame_w))
+        cnt = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
+        mean = jnp.sum(jnp.where(sel, img, 0.0)) / cnt
         return jnp.where(mask, img, mean)
-    left_base = _mean_fill(left_base, left_base_mask)
-    right_base = _mean_fill(right_base, right_base_mask)
+    # Reference frames exclude the alignment padding; the right frame is one
+    # short of rbase (the repo sizes the right base for max-exclusive search).
+    left_base = _mean_fill(left_base, left_base_mask,
+                           h + 2 * off_y, w + 2 * off_x)
+    right_base = _mean_fill(right_base, right_base_mask,
+                            h + 2 * off_y + s_h - 1, w + 2 * off_x + s_w - 1)
 
     # Output-frame masks (zero-extended, unpadded; CorrelationView.cc:195-199).
     lmask0 = left_mask
@@ -466,6 +502,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     level_results = [] if keep_levels else None
     dm: Optional[DisparityMap] = None
 
+    # Time budget (ref m_corr_timeout, CorrelationView.cc:621-637).
+    spent_est = 0.0
+    spo = None
+    if corr_timeout > 0:
+        from visionworkbench_tpu.stereo import cost_model as _cm
+        spo = (float(seconds_per_op) if seconds_per_op is not None
+               else _cm.seconds_per_op())
+
     for level in range(levels, -1, -1):
         scaling = 1 << level
         on_last = level == 0
@@ -482,9 +526,26 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         t = int(tile_size)
         nty, ntx = _cdiv(out_h, t), _cdiv(out_w, t)
 
+        # Degrade-not-fail: shrink this level's search window until the
+        # predicted time fits the remaining budget.
+        cap_x, cap_y = s_w_l, s_h_l
+        if corr_timeout > 0:
+            from visionworkbench_tpu.stereo.cost_model import (
+                budget_search_volume, estimate_search_time)
+            rem = corr_timeout - spent_est
+            if rem <= 0:          # budget exhausted: minimal search
+                cap_x, cap_y = 1, 1
+            else:
+                cap_x, cap_y = budget_search_volume(out_h * out_w,
+                                                    (s_w_l, s_h_l), rem, spo)
+            if (cap_x, cap_y) != (s_w_l, s_h_l):
+                vw_out(DEBUG, "stereo").debug(
+                    "level %d: search degraded to (%d, %d) by "
+                    "corr_timeout=%s", level, cap_x, cap_y, corr_timeout)
+
         if level == levels:
             offsets = jnp.zeros((nty, ntx, 2), jnp.int32)
-            s_x_eff, s_y_eff = s_w_l, s_h_l
+            s_x_eff, s_y_eff = min(s_w_l, cap_x), min(s_h_l, cap_y)
         else:
             prior = disparity_upsample(dm)
             pr_d = prior.disparity[:out_h, :out_w]
@@ -497,18 +558,26 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             # default Vector2i(2,2)); BM uses the wider refine window.
             if sgm_mode:
                 rw = 2 * int(sgm_search_buffer) + 1
-                s_x_eff = min(rw, s_w_l)
-                s_y_eff = min(rw, s_h_l)
+                s_x_eff = min(rw, s_w_l, cap_x)
+                s_y_eff = min(rw, s_h_l, cap_y)
                 offsets = _tile_offsets_centered(pr_d, pr_v, t,
                                                  int(sgm_search_buffer),
                                                  s_w_l - s_x_eff,
                                                  s_h_l - s_y_eff,
                                                  value_bounds=(s_w_l, s_h_l))
             else:
-                s_x_eff = min(int(refine_window), s_w_l)
-                s_y_eff = min(int(refine_window), s_h_l)
+                s_x_eff = min(int(refine_window), s_w_l, cap_x)
+                s_y_eff = min(int(refine_window), s_h_l, cap_y)
                 offsets = _tile_offsets(pr_d, pr_v, t, 2,
                                         s_w_l - s_x_eff, s_h_l - s_y_eff)
+
+        if corr_timeout > 0:
+            spent_est += estimate_search_time(out_h * out_w,
+                                              (s_x_eff, s_y_eff), spo)
+            if on_last and consistency_threshold >= 0:
+                # the RL pass is charged too (CorrelationView.cc:661-668)
+                spent_est += estimate_search_time(out_h * out_w,
+                                                  (s_x_eff, s_y_eff), spo)
 
         # Base (left) frame for tile extraction: tiles at (ty*t, tx*t) must
         # read left_pyr[level] starting at the unpadded region minus half the
@@ -536,8 +605,21 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                 cost_type, census_window=census_window)
             patches = patches[:out_h, :out_w]
         else:
+            sgm_kwargs = {}
+            if sgm_mode:
+                # Per-pixel seeds from the (filtered, upsampled) previous
+                # level + the level's left mask — SGM invalidates internally
+                # (ref m_disp_bound_image / ZERO_SEARCH_AREA, SGM.h:180-198).
+                lm_lvl = lmask_pyr[level][:out_h, :out_w]
+                lm_lvl = jnp.pad(lm_lvl, ((0, nty * t - out_h),
+                                          (0, ntx * t - out_w)))
+                sgm_kwargs["lmask_"] = lm_lvl
+                sgm_kwargs["ranges"] = (s_w_l, s_h_l)
+                if level < levels:
+                    sgm_kwargs["seeds"] = (pr_d.astype(jnp.float32), pr_v)
             disp, valid = _level_search(lbase, mbase, offsets, t,
-                                        s_x_eff, s_y_eff, on_last)
+                                        s_x_eff, s_y_eff, on_last,
+                                        **sgm_kwargs)
         disp = disp[:out_h, :out_w]
         valid = valid[:out_h, :out_w]
         dm = DisparityMap(disp, valid)
@@ -642,6 +724,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
         else:
             final = parabola_subpixel(final, left, right, (kw, kh),
                                       prefilter_mode, prefilter_width)
+    elif subpixel in ("affine", "em"):
+        # Iterative affine / Bayes-EM refinement (ref PyramidSubpixelView's
+        # SUBPIXEL_FAST_AFFINE / SUBPIXEL_BAYES_EM, SubpixelView.h:28-146;
+        # stereo_rfne applies these after the integer correlator).
+        from visionworkbench_tpu.stereo.subpixel_refine import bayes_em_subpixel
+        final = bayes_em_subpixel(final, left, right, (kw, kh),
+                                  em_iters=2 if subpixel == "em" else 0,
+                                  prefilter_mode=prefilter_mode,
+                                  prefilter_width=prefilter_width)
     elif subpixel != "none":
         raise ValueError(f"unknown subpixel mode {subpixel!r}")
 

@@ -37,13 +37,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pyramid-levels", type=int, default=5)
     p.add_argument("--consistency-threshold", type=float, default=-1.0,
                    help=">= 0 enables the left<->right check")
-    p.add_argument("--subpixel", choices=["none", "parabola"], default="none")
+    p.add_argument("--subpixel",
+                   choices=["none", "parabola", "affine", "em"],
+                   default="none",
+                   help="subpixel mode: parabola (9-point quadratic), "
+                        "affine (weighted affine GN), em (Bayes-EM affine "
+                        "mixture — the reference's quality mode)")
     p.add_argument("--blob-filter-area", type=int, default=0)
     p.add_argument("--match-file", default=None,
                    help="pre-align right image with a RANSAC homography fit "
                         "to this .match file")
     p.add_argument("--tile-size", type=int, default=64,
                    help="refinement tile size (search offsets granularity)")
+    p.add_argument("--corr-timeout", type=float, default=0.0,
+                   help="time budget in seconds (ref corr-timeout): degrades "
+                        "the per-level search volume instead of failing; "
+                        "0 disables")
     p.add_argument("--use-sgm", action="store_true",
                    help="semi-global matching instead of block matching")
     p.add_argument("--use-mgm", action="store_true",
@@ -110,7 +119,7 @@ def main(argv=None) -> int:
             max_pyramid_levels=args.max_pyramid_levels,
             tile_size=args.tile_size, subpixel=args.subpixel,
             blob_filter_area=args.blob_filter_area,
-            stereo_algorithm=algo)
+            stereo_algorithm=algo, corr_timeout=args.corr_timeout)
         disp = np.asarray(dm.disparity)
         valid = np.asarray(dm.valid)
 
