@@ -246,3 +246,354 @@ def phase_subpixel(disparity: DisparityMap, left, right, window: int = 32,
     d = jnp.stack([dmean[0] + off_x, dmean[1] + off_y], -1)
     return DisparityMap(jnp.where(disparity.valid[..., None], d, 0.0),
                         disparity.valid)
+
+
+# ---------------------------------------------------------------------------
+# Bayes-EM affine subpixel (ref subpixel_optimized_affine_2d_EM,
+# Correlate.cc:500-845, and bayes_em_subpixel, SubpixelView.h:128-146)
+# ---------------------------------------------------------------------------
+
+def _weight_template(kw: int, kh: int) -> "np.ndarray":
+    """Gaussian window weights (ref compute_spatial_weight_image,
+    Correlate.cc:36-55): exp(-(di^2+dj^2)/two_sigma_sqr) normalized, with
+    two_sigma_sqr = 2*(kw/5)^2 (Correlate.cc:519)."""
+    import numpy as np
+    two_sigma_sqr = 2.0 * (float(kw) / 5.0) ** 2
+    ii = np.arange(kw) - kw // 2
+    jj = np.arange(kh) - kh // 2
+    w = np.exp(-(ii[None, :] ** 2 + jj[:, None] ** 2) / two_sigma_sqr)
+    return (w / w.sum()).astype("float32")
+
+
+def _solve6(A, b):
+    """Unrolled 6x6 Cholesky solve, elementwise over (H, W) maps.
+
+    ``A``: dict {(i, j): map} upper-triangular entries (i <= j) of the SPD
+    normal matrix; ``b``: list of 6 maps. Everything stays as fused
+    elementwise ops — no (H, W, 6, 6) materialization, no batched LAPACK.
+    Non-SPD pixels produce NaNs which the caller's final NaN check
+    invalidates (the reference's posv failure path degrades the same way)."""
+    L = {}
+    for j in range(6):
+        s = A[(j, j)]
+        for k in range(j):
+            s = s - L[(j, k)] * L[(j, k)]
+        L[(j, j)] = jnp.sqrt(s)
+        inv = 1.0 / L[(j, j)]
+        for i in range(j + 1, 6):
+            s = A[(j, i)]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            L[(i, j)] = s * inv
+    # forward substitution L y = b
+    y = []
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[(i, k)] * y[k]
+        y.append(s / L[(i, i)])
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[(k, i)] * x[k]
+        x[i] = s / L[(i, i)]
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("kw", "kh", "em_iters",
+                                             "outer_iters"))
+def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
+                     em_iters: int, outer_iters: int):
+    """Dense, gather-light Bayes-EM affine subpixel — every pixel of the
+    frame refines simultaneously (ref ``subpixel_optimized_affine_2d_EM``,
+    Correlate.cc:500-845, transliterated update-for-update; ``em_iters=0``
+    disables the Gaussian+uniform mixture weighting, leaving the plain
+    weighted affine Gauss-Newton core of ``subpixel_optimized_affine_2d``,
+    Correlate.cc:848-1080).
+
+    Reference semantics preserved per pixel: identity-initialized 6-param
+    affine window model in row-major [d0 d1 d2; d3 d4 d5]; Gaussian window
+    weights zeroed at invalid-neighbor taps and renormalized
+    (``adjust_weight_image``; pixels with < kern_pixels/2 valid neighbors
+    invalidate); the EM mixture (plane model N(0, 1e-3) vs uniform-noise
+    model N(mean_noise, 1e-2), priors 0.8/0.2, exponent guard at -75, the
+    full-affine ``delta`` quirk of Correlate.cc:659-663); per-pixel 6x6
+    normal-equation Cholesky solves; the |translation| > kern_width/2 abort;
+    the rising-|sum I_e| early stop; final NaN / max-translation
+    invalidation with the offset added to the ORIGINAL disparity.
+
+    TPU formulation (the gather-free part): instead of per-tap bilinear
+    gathers into the right image (the reference's ``right_interp_image(xx,
+    yy)``, 4 gathers x k^2 taps x iters — ~11 ms per 1-Mpx gather on this
+    toolchain), the right image is warped ONCE per outer iteration by the
+    per-pixel integer part of the current solution (one gather), and each
+    tap's fractional sample is a 3x3-slice hat-weighted stencil over the
+    warped frame (offsets stay within [-1, 1) because the rounded
+    translation folds into the warp field each iteration; larger per-tap
+    affine deviations clip). This is exact wherever the integer
+    warp field is locally constant across the window — post-filtering,
+    almost everywhere; the same documented approximation as the fast
+    parabola path. Border pixels read replicate-extended samples instead of
+    the reference's zero extension.
+    """
+    import numpy as np
+    h, w = left.shape
+    k2w, k2h = kw // 2, kh // 2
+    kern_pixels = kw * kh
+    max_trans = float(kw) / 2.0
+    m = k2w + 2  # stencil margin: tap + cell shift + bilinear
+    mh = k2h + 2
+
+    from visionworkbench_tpu.image.filters import derivative_filter
+    x_deriv = derivative_filter(left, 1, 0)
+    y_deriv = derivative_filter(left, 0, 1)
+
+    wt = _weight_template(kw, kh)
+
+    # Per-pixel window weight normalization (adjust_weight_image).
+    validf = valid.astype(jnp.float32)
+    vpad = jnp.pad(validf, ((k2h, k2h), (k2w, k2w)))
+    wsum = jnp.zeros((h, w), jnp.float32)
+    good = jnp.zeros((h, w), jnp.float32)
+    for jj in range(kh):
+        for ii in range(kw):
+            vtap = lax.slice(vpad, (jj, ii), (jj + h, ii + w))
+            wsum = wsum + wt[jj, ii] * vtap
+            good = good + vtap
+    ok_weights = good >= (kern_pixels // 2)
+    wsum = jnp.maximum(wsum, 1e-20)
+
+    lpad = jnp.pad(left, ((k2h, k2h), (k2w, k2w)), mode="edge")
+    xpad = jnp.pad(x_deriv, ((k2h, k2h), (k2w, k2w)), mode="edge")
+    ypad = jnp.pad(y_deriv, ((k2h, k2h), (k2w, k2w)), mode="edge")
+
+    dispf = disp.astype(jnp.float32)
+    dint = jnp.round(dispf).astype(jnp.int32)
+    frac0 = dispf - dint.astype(jnp.float32)
+
+    rh, rw = right.shape
+    qy = lax.broadcasted_iota(jnp.int32, (h + 2 * mh, w + 2 * m), 0) - mh
+    qx = lax.broadcasted_iota(jnp.int32, (h + 2 * mh, w + 2 * m), 1) - m
+    rflat = right.reshape(-1)
+
+    def warp_once(fold):
+        """G(q) = right(q + dint(q) + fold(q)) on the margin-extended grid
+        (edge-replicated warp field; clipped reads)."""
+        wx = jnp.pad(dint[..., 0] + fold[..., 0], ((mh, mh), (m, m)),
+                     mode="edge")
+        wy = jnp.pad(dint[..., 1] + fold[..., 1], ((mh, mh), (m, m)),
+                     mode="edge")
+        ty = jnp.clip(qy + wy, 0, rh - 1)
+        tx = jnp.clip(qx + wx, 0, rw - 1)
+        return jnp.take(rflat, (ty * rw + tx).reshape(-1)).reshape(ty.shape)
+
+    n_em = max(em_iters, 1)
+    use_em = em_iters > 0
+
+    def outer_body(it, carry):
+        d, fold, prev_sum, frozen = carry
+        # abort check at iteration top (Correlate.cc:212-217)
+        aborted = jnp.sqrt(d[2] * d[2] + d[5] * d[5]) > max_trans
+        active = ~frozen & ~aborted
+
+        G = warp_once(fold)
+        tfx = d[2] + frac0[..., 0] - fold[..., 0].astype(jnp.float32)
+        tfy = d[5] + frac0[..., 1] - fold[..., 1].astype(jnp.float32)
+
+        d_em = list(d)
+        mean_noise = jnp.zeros((h, w), jnp.float32)
+        w_plane = jnp.full((h, w), 0.8, jnp.float32)
+        w_noise = jnp.full((h, w), 0.2, jnp.float32)
+        var2_plane, var2_noise = 1e-3, 1e-2
+        lhs_sol = None
+        sum_ie = jnp.zeros((h, w), jnp.float32)
+
+        for em_iter in range(n_em):
+            A = {}
+            for i in range(6):
+                for j in range(i, 6):
+                    A[(i, j)] = jnp.zeros((h, w), jnp.float32)
+            b = [jnp.zeros((h, w), jnp.float32) for _ in range(6)]
+            sum_ie = jnp.zeros((h, w), jnp.float32)
+            mean_noise_tmp = jnp.zeros((h, w), jnp.float32)
+            sg_plane = jnp.zeros((h, w), jnp.float32)
+            sg_noise = jnp.zeros((h, w), jnp.float32)
+            pnf = 1.0 / np.sqrt(2 * np.pi * var2_plane)
+            nnf = 1.0 / np.sqrt(2 * np.pi * var2_noise)
+
+            # Window rows vectorized on a leading tap axis (T = kw): keeps
+            # the traced body ~10x smaller than a fully unrolled tap loop
+            # (compile-time bound through the remote-compile tunnel) while
+            # all math stays fused elementwise.
+            iiv = jnp.asarray(np.arange(-k2w, k2w + 1,
+                                        dtype=np.float32))[:, None, None]
+            for jj in range(-k2h, k2h + 1):
+                j0 = jj + k2h
+
+                def row_stack(padded):
+                    return jnp.stack([
+                        lax.slice(padded, (j0, i), (j0 + h, i + w))
+                        for i in range(kw)])
+                L_row = row_stack(lpad)               # (T, H, W)
+                Ix = row_stack(xpad)
+                Iy = row_stack(ypad)
+                v_row = row_stack(vpad)
+                wt_row = jnp.asarray(wt[j0])[:, None, None]
+                w_row = wt_row * v_row / wsum[None]
+
+                ox = (d[0] - 1.0)[None] * iiv + (d[1] * jj + tfx)[None]
+                oy = d[3][None] * iiv + ((d[4] - 1.0) * jj + tfy)[None]
+                ox = jnp.clip(ox, -1.0, 1.0 - 1e-6)
+                oy = jnp.clip(oy, -1.0, 1.0 - 1e-6)
+                # 3x3 hat-weighted stencil sample of G at (jj+oy, ii+ox);
+                # the x-stencil reads are axis-0 slices of one wide row
+                # stack, shared across taps.
+                sample = jnp.zeros((kw, h, w), jnp.float32)
+                for sy in (-1, 0, 1):
+                    gy0 = jj + sy + mh
+                    wide = jnp.stack([
+                        lax.slice(G, (gy0, c + m), (gy0 + h, c + m + w))
+                        for c in range(-k2w - 1, k2w + 2)])  # (T+2, H, W)
+                    wy_ = jnp.maximum(0.0, 1.0 - jnp.abs(oy - sy))
+                    row_acc = jnp.zeros((kw, h, w), jnp.float32)
+                    for sx in (-1, 0, 1):
+                        gsl = lax.slice_in_dim(wide, sx + 1, sx + 1 + kw, 1, 0)
+                        wx_ = jnp.maximum(0.0, 1.0 - jnp.abs(ox - sx))
+                        row_acc = row_acc + wx_ * gsl
+                    sample = sample + wy_ * row_acc
+
+                I_e = sample - L_row
+                sum_ie = sum_ie + jnp.sum(I_e, 0)
+                if use_em:
+                    delta_x = (d_em[0][None] * iiv
+                               + (d_em[1] * jj + d_em[2])[None])
+                    delta_y = (d_em[3][None] * iiv
+                               + (d_em[4] * jj + d_em[5])[None])
+                    temp_plane = I_e - delta_x * Ix - delta_y * Iy
+                    temp_noise = sample - mean_noise[None]
+                    ppe = -(temp_plane * temp_plane) / (2 * var2_plane)
+                    plane_prob = jnp.where(ppe < -75.0, 0.0,
+                                           pnf * jnp.exp(ppe))
+                    npe = -(temp_noise * temp_noise) / (2 * var2_noise)
+                    noise_prob = jnp.where(npe < -75.0, 0.0,
+                                           nnf * jnp.exp(npe))
+                    denom = (plane_prob * w_plane[None]
+                             + noise_prob * w_noise[None])
+                    safe = jnp.where(denom > 0, denom, 1.0)
+                    gamma_plane = jnp.where(denom > 0,
+                                            plane_prob * w_plane[None] / safe,
+                                            0.0)
+                    gamma_noise = jnp.where(denom > 0,
+                                            noise_prob * w_noise[None] / safe,
+                                            0.0)
+                    mean_noise_tmp = mean_noise_tmp + jnp.sum(
+                        sample * gamma_noise, 0)
+                    sg_plane = sg_plane + jnp.sum(gamma_plane, 0)
+                    sg_noise = sg_noise + jnp.sum(gamma_noise, 0)
+                    weight = gamma_plane * w_row
+                else:
+                    weight = w_row
+
+                Ixw = weight * Ix
+                Iyw = weight * Iy
+                bx0 = jnp.sum(Ixw * I_e, 0)          # sum Ixw * I_e
+                bx1 = jnp.sum(iiv * Ixw * I_e, 0)    # sum ii * Ixw * I_e
+                by0 = jnp.sum(Iyw * I_e, 0)
+                by1 = jnp.sum(iiv * Iyw * I_e, 0)
+                b[0] = b[0] - bx1
+                b[1] = b[1] - jj * bx0
+                b[2] = b[2] - bx0
+                b[3] = b[3] - by1
+                b[4] = b[4] - jj * by0
+                b[5] = b[5] - by0
+                # three moments (1, ii, ii^2) per gradient product; the jj
+                # factors are row constants
+                for (base, prod) in ((0, Ixw * Ix), (3, Iyw * Iy),
+                                     (None, Ixw * Iy)):
+                    s0 = jnp.sum(prod, 0)
+                    s1 = jnp.sum(iiv * prod, 0)
+                    s2 = jnp.sum(iiv * iiv * prod, 0)
+                    if base is not None:   # UL (base 0) / LR (base 3) blocks
+                        A[(base, base)] = A[(base, base)] + s2
+                        A[(base, base + 1)] = A[(base, base + 1)] + jj * s1
+                        A[(base, base + 2)] = A[(base, base + 2)] + s1
+                        A[(base + 1, base + 1)] = (A[(base + 1, base + 1)]
+                                                   + jj * jj * s0)
+                        A[(base + 1, base + 2)] = (A[(base + 1, base + 2)]
+                                                   + jj * s0)
+                        A[(base + 2, base + 2)] = A[(base + 2, base + 2)] + s0
+                    else:                  # full UR block (IxIy)
+                        A[(0, 3)] = A[(0, 3)] + s2
+                        A[(0, 4)] = A[(0, 4)] + jj * s1
+                        A[(0, 5)] = A[(0, 5)] + s1
+                        A[(1, 3)] = A[(1, 3)] + jj * s1
+                        A[(1, 4)] = A[(1, 4)] + jj * jj * s0
+                        A[(1, 5)] = A[(1, 5)] + jj * s0
+                        A[(2, 3)] = A[(2, 3)] + s1
+                        A[(2, 4)] = A[(2, 4)] + jj * s0
+                        A[(2, 5)] = A[(2, 5)] + s0
+
+            lhs_sol = _solve6(A, b)
+            if use_em:
+                mean_noise = jnp.where(sg_noise > 0,
+                                       mean_noise_tmp / jnp.maximum(sg_noise,
+                                                                    1e-20),
+                                       mean_noise)
+                w_plane = sg_plane / kern_pixels
+                w_noise = sg_noise / kern_pixels
+                d_em = [d[k] + lhs_sol[k] for k in range(6)]
+
+        d_new = [d[k] + lhs_sol[k] for k in range(6)]
+        curr_sum = jnp.abs(sum_ie)
+        # rising-residual early stop (applies AFTER the update, like the
+        # reference's d += lhs; break)
+        stop = (prev_sum < curr_sum) & (it > 0)
+        upd = active
+        d_out = [jnp.where(upd, d_new[k], d[k]) for k in range(6)]
+        new_frozen = frozen | aborted | (upd & stop)
+        new_prev = jnp.where(upd & ~stop, curr_sum, prev_sum)
+        # fold integer translation into the warp field for the next iteration
+        nfx = jnp.round(d_out[2] + frac0[..., 0]).astype(jnp.int32)
+        nfy = jnp.round(d_out[5] + frac0[..., 1]).astype(jnp.int32)
+        new_fold = jnp.where(upd[..., None],
+                             jnp.stack([nfx, nfy], -1), fold)
+        return (tuple(d_out), new_fold, new_prev, new_frozen)
+
+    d0 = (jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32),
+          jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32),
+          jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32))
+    fold0 = jnp.round(frac0).astype(jnp.int32)
+    prev0 = jnp.zeros((h, w), jnp.float32)
+    frozen0 = jnp.zeros((h, w), bool)
+    d, _, _, _ = lax.fori_loop(0, outer_iters, outer_body,
+                               (d0, fold0, prev0, frozen0))
+
+    trans = jnp.sqrt(d[2] * d[2] + d[5] * d[5])
+    bad = (trans > max_trans) | ~jnp.isfinite(d[2]) | ~jnp.isfinite(d[5])
+    out_valid = valid & ok_weights & ~bad
+    out = dispf + jnp.stack([jnp.where(bad, 0.0, d[2]),
+                             jnp.where(bad, 0.0, d[5])], -1)
+    return jnp.where(out_valid[..., None], out, 0.0), out_valid
+
+
+def bayes_em_subpixel(disparity: DisparityMap, left, right, kernel_size,
+                      em_iters: int = 2, outer_iters: int = 10,
+                      prefilter_mode: str = PREFILTER_NONE,
+                      prefilter_width: float = 1.4) -> DisparityMap:
+    """Bayes-EM affine subpixel refinement (ref ``bayes_em_subpixel``,
+    SubpixelView.h:128-146 / ``subpixel_optimized_affine_2d_EM``,
+    Correlate.cc:500-845): a Gaussian "plane" inlier model + uniform-noise
+    outlier model EM-weighted affine window fit. The reference's quality
+    mode. ``em_iters=0`` degrades to the plain weighted affine GN
+    (``subpixel_optimized_affine_2d``)."""
+    left = prefilter_image(jnp.asarray(left, jnp.float32), prefilter_mode,
+                           prefilter_width)
+    right = prefilter_image(jnp.asarray(right, jnp.float32), prefilter_mode,
+                            prefilter_width)
+    kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    d, valid = _em_affine_dense(disparity.disparity, disparity.valid,
+                                left, right, kw, kh, int(em_iters),
+                                int(outer_iters))
+    return DisparityMap(d, valid)
