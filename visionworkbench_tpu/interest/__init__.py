@@ -5,8 +5,9 @@ from visionworkbench_tpu.interest.operators import (
     harris_interest, image_gradients, log_interest,
 )
 from visionworkbench_tpu.interest.detector import (
-    assign_orientations, concatenate_points, detect_points, detect_points_obalog,
-    detect_points_scaled,
+    assign_orientations, assign_orientations_scaled, concatenate_points,
+    detect_points, detect_points_dog, detect_points_obalog,
+    detect_points_scaled, detect_sift_like,
 )
 from visionworkbench_tpu.interest.descriptor import (
     PCABasis, describe, fit_pca_basis, patch_descriptor, pca_descriptor,

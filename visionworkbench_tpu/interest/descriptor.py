@@ -106,7 +106,14 @@ def _sgrad_descriptors(img, pts, grid: int, bins: int, size: int,
     gx = (jnp.roll(patches, -1, axis=2) - jnp.roll(patches, 1, axis=2)) * 0.5
     gy = (jnp.roll(patches, -1, axis=1) - jnp.roll(patches, 1, axis=1)) * 0.5
     mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx) - orientation[:, None, None]
+    # Gradients are computed IN THE PATCH FRAME. When the support was sampled
+    # on a rotated grid (upright=False), the patch frame is already rotated
+    # by the point's orientation, so the angles need no further
+    # normalization; subtracting the orientation again would double-rotate.
+    # Only the upright path (axis-aligned sampling) normalizes explicitly.
+    ang = jnp.arctan2(gy, gx)
+    if upright:
+        ang = ang - orientation[:, None, None]
     bin_idx = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * bins).astype(jnp.int32) % bins
     # Gaussian weight over the window
     half = (size - 1) / 2.0

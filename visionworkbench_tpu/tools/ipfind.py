@@ -14,8 +14,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="vw-ipfind",
         description="Detect and describe interest points; writes <image>.vwip")
     p.add_argument("images", nargs="+")
-    p.add_argument("--interest-operator", choices=["harris", "log", "obalog"],
-                   default="log")
+    p.add_argument("--interest-operator",
+                   choices=["sift", "dog", "harris", "log", "obalog"],
+                   default="sift",
+                   help="sift/dog = DoG scale-space + oriented descriptors "
+                        "(the reference ipfind's default capability)")
     p.add_argument("--descriptor-generator",
                    choices=["patch", "sgrad", "sgrad2"], default="sgrad")
     p.add_argument("--max-points", type=int, default=1000)
@@ -41,19 +44,33 @@ def main(argv=None) -> int:
         if img.ndim == 3:
             img = img.mean(axis=2)
         im = normalize(jnp.asarray(img))
-        if args.interest_operator == "obalog":
-            from visionworkbench_tpu.interest.detector import detect_points_obalog
-            pts = detect_points_obalog(im, args.threshold or 1e-4,
-                                       max_points=args.max_points)
-        elif args.single_scale:
-            pts = detect_points(im, args.interest_operator, args.threshold,
-                                max_points=args.max_points)
+        if args.interest_operator in ("sift", "dog"):
+            # DoG scale-space + scale-aware orientations + oriented
+            # scale-normalized descriptors (ref ipfind's OpenCV SIFT default,
+            # ipfind.cc:61-229, rebuilt TPU-native).
+            from visionworkbench_tpu.interest import (
+                assign_orientations_scaled, detect_points_dog,
+            )
+            pts = detect_points_dog(im, args.threshold or 0.015,
+                                    max_points=args.max_points)
+            pts = assign_orientations_scaled(im, pts)
+            pts = describe(im, pts, args.descriptor_generator)
         else:
-            pts = detect_points_scaled(im, args.interest_operator,
-                                       args.threshold,
-                                       max_points=args.max_points)
-        pts = assign_orientations(im, pts)
-        pts = describe(im, pts, args.descriptor_generator)
+            if args.interest_operator == "obalog":
+                from visionworkbench_tpu.interest.detector import (
+                    detect_points_obalog,
+                )
+                pts = detect_points_obalog(im, args.threshold or 1e-4,
+                                           max_points=args.max_points)
+            elif args.single_scale:
+                pts = detect_points(im, args.interest_operator, args.threshold,
+                                    max_points=args.max_points)
+            else:
+                pts = detect_points_scaled(im, args.interest_operator,
+                                           args.threshold,
+                                           max_points=args.max_points)
+            pts = assign_orientations(im, pts)
+            pts = describe(im, pts, args.descriptor_generator)
         out_dir = args.output_dir or os.path.dirname(path) or "."
         out = os.path.join(out_dir,
                            os.path.splitext(os.path.basename(path))[0] + ".vwip")
