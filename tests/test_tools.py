@@ -228,3 +228,75 @@ def test_correlate_tool_sgm(stereo_pair, tmp_path, capsys):
     core = np.s_[10:-10, 12:-12]
     correct = np.abs(disp[..., 0][core][valid[core]] - dx) <= 1.0
     assert correct.mean() > 0.8
+
+
+def test_image2qtree_projection_corner_cases(tmp_path, rng, capsys):
+    """Deeper e2e mirror of the reference's only tool-level integration test
+    (``src/test/image2qtree_test.py`` + geotif-generate.cc): synthetic
+    georeferenced inputs in DIFFERENT projections (geographic + UTM via
+    GeoTIFF ProjectedCSType keys), run the real CLI with multiband blending,
+    verify the tile tree structure, tile readability, and the KML
+    super-overlay references."""
+    import glob
+    from visionworkbench_tpu.cartography import GeoReference
+    from visionworkbench_tpu.cartography.projection import UTMProjection
+    from visionworkbench_tpu.cartography.datum import well_known_datum
+
+    # input 1: geographic frame
+    g_geo = make_geographic_georef(-120.0, 40.0, 0.001)
+    yy, xx = np.mgrid[0:80, 0:96].astype(np.float32)
+    img1 = (0.4 + 0.3 * np.sin(xx * 0.2) * np.cos(yy * 0.15)
+            + 0.1 * rng.random((80, 96))).astype(np.float32)
+    p1 = str(tmp_path / "geo.tif")
+    write_tiff(p1, img1, georef=g_geo)
+
+    # input 2: UTM zone 11N frame over an overlapping area. Build its affine
+    # transform from the projected coordinates of a nearby lonlat anchor.
+    datum = well_known_datum("WGS84")
+    utm = UTMProjection(datum, 11, True)
+    ex, ny = (float(v) for v in utm.forward(-119.96, 39.995))
+    gsd = 90.0  # meters/px ~ 0.001 deg
+    t = np.array([[gsd, 0.0, ex], [0.0, -gsd, ny], [0.0, 0.0, 1.0]])
+    g_utm = GeoReference(datum, utm, t)
+    img2 = (0.6 + 0.2 * np.cos(xx * 0.12) + 0.1 * rng.random((80, 96))
+            ).astype(np.float32)
+    p2 = str(tmp_path / "utm.tif")
+    write_tiff(p2, img2, georef=g_utm)
+
+    # round-trip sanity: the UTM georef must survive the GeoTIFF keys
+    from visionworkbench_tpu.cartography import georeference_from_tiff_info
+    from visionworkbench_tpu.fileio import TiffInfo
+    back = georeference_from_tiff_info(TiffInfo(p2))
+    assert isinstance(back.projection, UTMProjection)
+    assert back.projection.zone == 11
+
+    name = str(tmp_path / "qt2")
+    assert image2qtree_main([p1, p2, "-o", name, "--tile-size", "32",
+                             "--blend", "multiband", "-m", "kml"]) == 0
+    out = capsys.readouterr().out
+    assert "tiles under" in out
+
+    # tile tree: nested level/x/y structure, all tiles readable and sane
+    tiles = sorted(glob.glob(os.path.join(name, "*", "*", "*.png")))
+    assert len(tiles) >= 5
+    levels = sorted({int(t.split(os.sep)[-3]) for t in tiles})
+    assert levels[0] == 0 and len(levels) >= 2, f"levels {levels}"
+    from visionworkbench_tpu.fileio import read_image
+    vals = []
+    for tp in tiles:
+        arr = np.asarray(read_image(tp, np.float32))
+        assert arr.shape[0] <= 32 and arr.shape[1] <= 32
+        vals.append(np.nanmean(arr))
+    assert np.nanmax(vals) > 0.1  # real content made it through the blend
+
+    # KML super-overlay references existing tiles
+    kml = name + ".kml"
+    assert os.path.exists(kml)
+    text = open(kml).read()
+    assert "<kml" in text and "href" in text
+    import re
+    refs = re.findall(r"<href>([^<]+)</href>", text)
+    assert refs
+    base = os.path.dirname(name) or "."
+    for r in refs[:10]:
+        assert os.path.exists(os.path.join(base, r)), r
