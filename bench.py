@@ -31,7 +31,9 @@ H = W = 1024
 SEARCH = (0, -4, 64, 8)      # x_min, y_min, width, height
 KERNEL = (15, 15)
 LEVELS = 4
-CPU_H = CPU_W = 256          # CPU baseline uses a smaller frame, same params
+CPU_H = CPU_W = 1024         # CPU baseline: SAME frame + params (apples-to-
+                             # apples pyramid depth / cache behavior; it runs
+                             # after the TPU measurement, never concurrent)
 
 
 def _make_pair(h, w):

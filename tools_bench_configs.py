@@ -51,7 +51,8 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=24)  # amortize the relay~26.5 ms readback floor
     p.add_argument("--ship", action="store_true",
                    help="time full-output readback instead of the digest")
-    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    p.add_argument("--configs", type=int, nargs="+",
+                   default=[1, 2, 3, 4, 5, 6, 7, 8])
     args = p.parse_args(argv)
 
     import jax
@@ -144,25 +145,113 @@ def main(argv=None) -> int:
         report("pyramid-census-parabola", n * n / dt / 1e6, "Mp/s")
 
     if 5 in args.configs:
-        # Config 5: homography warp of two images + feathered mosaic.
-        from visionworkbench_tpu.image.transform import transform
-        from visionworkbench_tpu.math.transform2d import HomographyTransform
-        from visionworkbench_tpu.mosaic.composite import feather_blend
+        # Config 5 (BASELINE): multi-image (N=4) warp + mosaic compositing
+        # with cartographic reprojection across sharded tiles —
+        # GeoTransform reverse maps through the ApproximateTransform grid
+        # (banded gather-free warps) + grassfire multiband Laplacian blend,
+        # row-sharded over the device mesh (1 chip on the TPU bench; the
+        # 8-device shard==whole test is tests/test_geomosaic.py).
+        from visionworkbench_tpu.cartography.georeference import GeoReference
+        from visionworkbench_tpu.mosaic.geomosaic import (
+            plan_reproject_grids, reproject_mosaic,
+        )
+        from visionworkbench_tpu.parallel.mesh import make_tile_mesh
 
-        hmat = HomographyTransform(np.array([[1.0, 0.01, 4.0],
-                                             [-0.008, 1.0, 2.0],
-                                             [1e-6, 0.0, 1.0]]))
+        def georef(scale, x0, y0):
+            t = np.array([[scale, 0.0, x0], [0.0, -scale, y0],
+                          [0.0, 0.0, 1.0]])
+            return GeoReference(transform=t)
 
-        def mosaic(a, b):
-            wa = transform(a, hmat, (n, n), "bilinear")
-            return feather_blend([wa, b],
-                                 [jnp.ones((n, n), bool), jnp.ones((n, n), bool)])
+        n_img = 4
+        dst_g = georef(0.01, 0.0, n * 0.01)
+        specs = [(0.0102, -0.05 * n * 0.01, n * 0.0105),
+                 (0.0098, 0.45 * n * 0.01, n * 0.0104),
+                 (0.0101, -0.04 * n * 0.01, n * 0.0056),
+                 (0.0099, 0.46 * n * 0.01, n * 0.0055)]
+        georefs = [georef(*s) for s in specs]
+        # Each source covers ~one quadrant (plus overlap) of the mosaic.
+        sh = int(n * 0.6)
+        srcs = [jnp.asarray(tex[:sh, i * 7:i * 7 + sh] + i * 1e-4)
+                for i in range(n_img)]
+        plans = plan_reproject_grids(georefs, dst_g, (n, n))
+        mesh = make_tile_mesh()
+
+        def mosaic(*imgs):
+            return reproject_mosaic(list(imgs), georefs, dst_g, (n, n),
+                                    levels=4, mesh=mesh, plans=plans)
 
         fn = jax.jit(mosaic)
+        ins = [tuple(s + jnp.float32(i * 1e-6) for s in srcs)
+               for i in range(args.iters)]
+        dt = _timed(fn, ins, lambda o: np.asarray(jax.tree.leaves(o)[0]),
+                    ship=args.ship)
+        report("reproject+multiband-mosaic", n_img * sh * sh / dt / 1e6,
+               "Mp/s")
+
+    if 6 in args.configs:
+        # Config 6: pyramid SGM (census 5x5, parabola subpixel, 64x2 search)
+        # — the reference's marquee algorithm (SGM.cc). 512^2 frames: the
+        # aggregation working set is ~4x the (H, W, sy, sx) volume.
+        from visionworkbench_tpu.math.bbox import BBox2i
+        from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+
+        ns = max(n // 2, 128)
+        sgm_left = [jnp.asarray(l[:ns, :ns]) for l in lefts]
+        sgm_right = jnp.asarray(right_np[:ns, :ns])
+        sr6 = BBox2i(0, -1, 64, 2)
+
+        def sgm(l, r):
+            dm = pyramid_correlate(l, r, sr6, kernel_size=(5, 5),
+                                   max_pyramid_levels=4,
+                                   stereo_algorithm="sgm",
+                                   subpixel="parabola")
+            return dm.disparity, dm.valid
+
+        fn = jax.jit(sgm)
+        dt = _timed(fn, [(l, sgm_right) for l in sgm_left],
+                    lambda o: np.asarray(o[0]), ship=args.ship)
+        report("pyramid-sgm", ns * ns / dt / 1e6, "Mp/s")
+
+    if 7 in args.configs:
+        # Config 7: full pyramid correlator + Bayes-EM affine subpixel
+        # (the reference's quality mode, SubpixelView.h:128-146) at full
+        # resolution — dense gather-free EM kernel, 7x7 window.
+        from visionworkbench_tpu.math.bbox import BBox2i
+        from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+
+        sr7 = BBox2i(0, -4, 64, 8)
+
+        def corr_em(l, r):
+            dm = pyramid_correlate(l, r, sr7, kernel_size=(7, 7),
+                                   cost_type="census", census_window=5,
+                                   max_pyramid_levels=4, tile_size=64,
+                                   subpixel="em")
+            return dm.disparity, dm.valid
+
+        fn = jax.jit(corr_em)
+        dt = _timed(fn, [(l, right) for l in lefts],
+                    lambda o: np.asarray(o[0]), ship=args.ship)
+        report("pyramid-census-bayes-em", n * n / dt / 1e6, "Mp/s")
+
+    if 8 in args.configs:
+        # Config 8: SIFT-class pipeline — DoG scale-space detection +
+        # oriented scale-normalized descriptors + matching (the reference
+        # ipfind's default capability, ipfind.cc:61-229). Unlike config 2
+        # (upright single-scale Harris), this is the rotation/scale-robust
+        # path.
+        from visionworkbench_tpu.interest import match_points
+        from visionworkbench_tpu.interest.detector import detect_sift_like
+
+        def sift_match(a, b):
+            pa = detect_sift_like(a, max_points=512)
+            pb = detect_sift_like(b, max_points=512)
+            return match_points(pa, pb, ratio=0.8)
+
+        fn = jax.jit(sift_match)
         dt = _timed(fn, [(l, right) for l in lefts],
                     lambda o: np.asarray(jax.tree.leaves(o)[0]),
                     ship=args.ship)
-        report("warp+mosaic", 2 * n * n / dt / 1e6, "Mp/s")
+        report("sift+match", 2 * n * n / dt / 1e6, "Mp/s")
     return 0
 
 

@@ -8,3 +8,6 @@ from visionworkbench_tpu.mosaic.quadtree import (
     QuadTreeGenerator, default_image_path, write_kml_superoverlay,
 )
 from visionworkbench_tpu.mosaic.pyramid import DiskImagePyramid
+from visionworkbench_tpu.mosaic.geomosaic import (
+    plan_reproject_grids, reproject_mosaic,
+)

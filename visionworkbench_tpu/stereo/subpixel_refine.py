@@ -51,7 +51,12 @@ def _sample(img, x, y):
 @functools.partial(jax.jit, static_argnames=("kw", "kh", "iters"))
 def _lk_refine(disp, valid, left, right, kw: int, kh: int, iters: int):
     """Translation-only Lucas-Kanade: per pixel solve the 2x2 system
-    [sum gx^2, sum gxgy; ., sum gy^2] d = -[sum gx e, sum gy e]."""
+    [sum gx^2, sum gxgy; ., sum gy^2] d = -[sum gx e, sum gy e].
+
+    Gather-based (4 bilinear gathers x kw*kh taps x iters): fine on the
+    small tiles it is offered for, but NOT a production full-frame path —
+    use :func:`affine_subpixel` / :func:`bayes_em_subpixel` (dense,
+    gather-free) at scale."""
     h, w = left.shape
     xs, ys = _grid(h, w)
     k2w, k2h = kw // 2, kh // 2
@@ -110,67 +115,17 @@ def lk_subpixel(disparity: DisparityMap, left, right, kernel_size,
     return DisparityMap(d, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("kw", "kh", "iters"))
-def _affine_refine(disp, valid, left, right, kw: int, kh: int, iters: int):
-    """6-parameter affine-window Gauss-Newton
-    (ref ``subpixel_optimized_affine_2d``, Correlate.cc): right window is
-    warped by [1+a, b, dx; c, 1+e, dy] about the window center; Gaussian
-    window weights like the reference's weighted variants."""
-    h, w = left.shape
-    xs, ys = _grid(h, w)
-    k2w, k2h = kw // 2, kh // 2
-    gx_r = (jnp.roll(right, -1, 1) - jnp.roll(right, 1, 1)) * 0.5
-    gy_r = (jnp.roll(right, -1, 0) - jnp.roll(right, 1, 0)) * 0.5
-    # params per pixel: [a, b, dx, c, e, dy]
-    p = jnp.zeros((h, w, 6))
-    p = p.at[..., 2].set(disp[..., 0].astype(jnp.float32))
-    p = p.at[..., 5].set(disp[..., 1].astype(jnp.float32))
-    sig = 0.5 * max(k2w, 1)
-
-    def body(_, p):
-        ata = jnp.zeros((h, w, 6, 6))
-        atb = jnp.zeros((h, w, 6))
-        for wy in range(-k2h, k2h + 1):
-            for wx in range(-k2w, k2w + 1):
-                import math
-                wgt = math.exp(-0.5 * (wx * wx + wy * wy) / (sig * sig * 4))
-                lv = _sample(left, xs + wx, ys + wy)
-                tx = xs + wx + p[..., 0] * wx + p[..., 1] * wy + p[..., 2]
-                ty = ys + wy + p[..., 3] * wx + p[..., 4] * wy + p[..., 5]
-                rv = _sample(right, tx, ty)
-                gx = _sample(gx_r, tx, ty)
-                gy = _sample(gy_r, tx, ty)
-                e = rv - lv
-                # Jacobian of residual wrt [a b dx c e dy]
-                j = jnp.stack([gx * wx, gx * wy, gx,
-                               gy * wx, gy * wy, gy], -1)
-                ata = ata + wgt * j[..., :, None] * j[..., None, :]
-                atb = atb + wgt * j * e[..., None]
-        ata = ata + 1e-4 * jnp.eye(6)
-        delta = jnp.linalg.solve(ata, -atb[..., None])[..., 0]
-        delta = jnp.clip(delta, -0.5, 0.5)
-        return p + delta
-
-    p = lax.fori_loop(0, iters, body, p)
-    d = jnp.stack([p[..., 2], p[..., 5]], -1)
-    drift = jnp.linalg.norm(d - disp.astype(jnp.float32), axis=-1)
-    ok = valid & (drift < 2.0) & jnp.all(jnp.isfinite(d), -1)
-    return jnp.where(ok[..., None], d, disp.astype(jnp.float32)), valid
-
-
 def affine_subpixel(disparity: DisparityMap, left, right, kernel_size,
                     iterations: int = 5, prefilter_mode: str = PREFILTER_NONE,
                     prefilter_width: float = 1.4) -> DisparityMap:
-    """Affine-adaptive-window subpixel (ref ``subpixel_optimized_affine_2d``
-    / the Bayes-EM family's deterministic core)."""
-    left = prefilter_image(jnp.asarray(left, jnp.float32), prefilter_mode,
-                           prefilter_width)
-    right = prefilter_image(jnp.asarray(right, jnp.float32), prefilter_mode,
-                            prefilter_width)
-    kw, kh = int(kernel_size[0]), int(kernel_size[1])
-    d, valid = _affine_refine(disparity.disparity, disparity.valid, left,
-                              right, kw, kh, int(iterations))
-    return DisparityMap(d, valid)
+    """Affine-adaptive-window subpixel (ref ``subpixel_optimized_affine_2d``,
+    Correlate.cc:848-1080): the plain weighted affine Gauss-Newton core of
+    the Bayes-EM family — the dense gather-free kernel with the EM mixture
+    weighting disabled (``em_iters=0``), production-scale on full frames."""
+    return bayes_em_subpixel(disparity, left, right, kernel_size,
+                             em_iters=0, outer_iters=int(iterations),
+                             prefilter_mode=prefilter_mode,
+                             prefilter_width=prefilter_width)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "stride", "upsample"))
