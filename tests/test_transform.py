@@ -200,3 +200,42 @@ def test_transform_grid_error_bound_refines(rng):
                           grid_step=32, tolerance=0.1)
     assert len(calls) == 0  # lambda above doesn't record; just run it
     assert out2.shape == (h, w)
+
+
+@pytest.mark.parametrize("interp", ["nearest", "bilinear", "bicubic"])
+def test_sample_separable_matches_sample(rng, interp):
+    # Axis-factorable map: separable two-matmul sampling must equal the
+    # gather sampler tap-for-tap (same kernels, same edge policy).
+    import jax.numpy as jnp
+    from visionworkbench_tpu.image.transform import sample, sample_separable
+    h, w = 40, 56
+    src = rng.random((h, w)).astype(np.float32)
+    sx1 = (np.arange(w, dtype=np.float64) * 1.37 - 9.3).astype(np.float32)
+    sy1 = (np.arange(h, dtype=np.float64) * 0.81 + 4.6).astype(np.float32)
+    ref = sample(jnp.asarray(src), jnp.asarray(np.tile(sx1, (h, 1))),
+                 jnp.asarray(np.tile(sy1[:, None], (1, w))), interp=interp,
+                 edge="zero")
+    out = sample_separable(jnp.asarray(src), jnp.asarray(sx1),
+                           jnp.asarray(sy1), interp=interp, edge="zero")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)
+
+
+def test_warp_from_grid_separable_path(rng):
+    # A wide-band separable map (scale change over a large frame) must take
+    # the separable matmul path and agree with the exact gather warp.
+    import jax.numpy as jnp
+    from visionworkbench_tpu.image import transform as T
+    h = w = 160
+    src = rng.random((h, w)).astype(np.float32)
+
+    def rev(x, y):
+        return x * 0.8 + 30.0, y * 1.15 - 12.0
+
+    sx_g, sy_g, step = T.reverse_map_grid(rev, (h, w), 16, 0.5)
+    # displacement band is ~(0.2*160) x (0.15*160) — far over _SEP_MIN_AREA
+    out = T.warp_from_grid(jnp.asarray(src), sx_g, sy_g, step, (h, w))
+    sx, sy = T.interp_map_grid(sx_g, sy_g, step, (h, w))
+    ref = T.sample(jnp.asarray(src), sx, sy, interp="bilinear", edge="zero")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)

@@ -232,6 +232,75 @@ def sample_banded(src, sx, sy, dy_bounds: Tuple[int, int],
     return out
 
 
+def sample_separable(src, sx1, sy1, interp: str = "bilinear",
+                     edge: str = "zero", edge_value: float = 0.0):
+    """Axis-separable warp as two MXU matmuls.
+
+    When the reverse map factors per axis — ``sx`` depends only on the output
+    column and ``sy`` only on the output row (scale/translate maps,
+    same-projection cartographic reprojection with diagonal georef
+    transforms) — the warp is ``W_y @ src @ W_x^T`` with per-axis tap-weight
+    matrices. Same taps and weights as :func:`sample` (exact separable
+    kernels), but the cost is two matmuls regardless of displacement band
+    width: scale-type maps whose band is too wide for :func:`sample_banded`
+    (band area grows ~ |scale-1| * image size) stay gather-free.
+
+    ``sx1``: (ow,) float source x per output column; ``sy1``: (oh,) float
+    source y per output row.
+    """
+    src = jnp.asarray(src)
+    sx1 = jnp.asarray(sx1, jnp.float32)
+    sy1 = jnp.asarray(sy1, jnp.float32)
+    if interp not in _TAPS:
+        raise ArgumentErr(f"sample_separable: unknown interp {interp!r}")
+    h, w = src.shape[0], src.shape[1]
+    buf = pixel_buffer(interp) + 1
+    pad = buf + 2
+    fill = edge_value if edge == "value" else 0.0
+    pad_mode = "value" if edge == "value" else edge
+    padded = edge_extend(src, x_pad=pad, y_pad=pad, mode=pad_mode, value=fill)
+
+    def axis_matrix(s, n):
+        # (out, n + 2*pad) tap-weight matrix, rows = output index.
+        if interp == "nearest":
+            b = jnp.floor(s + 0.5)
+            taps = [(0, jnp.ones_like(s))]
+        else:
+            b = jnp.floor(s)
+            f = s - b
+            if interp == "bilinear":
+                taps = [(0, 1.0 - f), (1, f)]
+            else:  # Catmull-Rom (Interpolation.h:155-158); global 0.25 factor
+                s0 = ((2 - f) * f - 1) * f
+                s1 = (3 * f - 5) * f * f + 2
+                s2 = ((4 - 3 * f) * f + 1) * f
+                s3 = (f - 1) * f * f
+                taps = [(-1, s0), (0, s1), (1, s2), (2, s3)]
+        bp = (jnp.clip(b, -buf, n - 1 + buf) + pad).astype(jnp.int32)
+        jj = lax.broadcasted_iota(jnp.int32, (s.shape[0], n + 2 * pad), 1)
+        mat = None
+        for t, wt in taps:
+            term = jnp.where(jj == (bp + t)[:, None], wt[:, None], 0.0)
+            mat = term if mat is None else mat + term
+        if interp == "bicubic":
+            mat = mat * 0.5   # Catmull-Rom taps carry a global 1/4: 1/2 per axis
+        return mat
+
+    w_y = axis_matrix(sy1, h)                      # (oh, h + 2p)
+    w_x = axis_matrix(sx1, w)                      # (ow, w + 2p)
+    spec_row = "oh,hw...->ow..."
+    rows = jnp.einsum(spec_row, w_y, padded, precision=lax.Precision.HIGHEST)
+    out = jnp.einsum("ow...,pw->op...", rows, w_x,
+                     precision=lax.Precision.HIGHEST)
+    if edge in ("zero", "value"):
+        inside = ((sx1 > -buf) & (sx1 < w - 1 + buf))[None, :] & \
+                 ((sy1 > -buf) & (sy1 < h - 1 + buf))[:, None]
+        if out.ndim == 3:
+            inside = inside[..., None]
+        out = jnp.where(inside, out, jnp.asarray(fill, out.dtype))
+    return out
+
+
 def resample(src, xfactor: float, yfactor: Optional[float] = None,
              interp: str = "bilinear", edge: str = "constant"):
     """Scale by a (possibly fractional) factor (ref ``resample``,
@@ -285,6 +354,19 @@ def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
     until the estimate fits the tolerance or reaches ``min_grid_step``
     (<= 0 tolerance disables the check, keeping the requested step).
     """
+    sx_g, sy_g, grid_step = reverse_map_grid(reverse_fn, out_shape, grid_step,
+                                             tolerance, min_grid_step)
+    return warp_from_grid(src, sx_g, sy_g, grid_step, out_shape,
+                          interp=interp, edge=edge)
+
+
+def reverse_map_grid(reverse_fn: Callable, out_shape: Tuple[int, int],
+                     grid_step: int = 16, tolerance: float = 0.5,
+                     min_grid_step: int = 2):
+    """Host half of :func:`transform_grid`: evaluate ``reverse_fn`` on a
+    coarse grid, refining ``grid_step`` until the mid-cell bilinear
+    approximation error fits ``tolerance`` (ref ``ApproximateTransform``,
+    Transform.h:142-238). Returns ``(sx_g, sy_g, grid_step)`` NumPy grids."""
     oh, ow = int(out_shape[0]), int(out_shape[1])
     while True:
         gx = np.arange(0, ow + grid_step, grid_step, dtype=np.float64)
@@ -307,20 +389,60 @@ def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
         if not np.isfinite(err) or err <= tolerance:
             break
         grid_step = max(grid_step // 2, min_grid_step)
-    # Bilinear upsample of the coordinate grids on device.
+    return np.asarray(sx_g), np.asarray(sy_g), grid_step
+
+
+def interp_map_grid(sx_g, sy_g, grid_step: int, out_shape: Tuple[int, int]):
+    """Device half, part 1: bilinearly upsample host coordinate grids to
+    full-resolution per-pixel source coordinates ``(sx, sy)``."""
+    oh, ow = int(out_shape[0]), int(out_shape[1])
     sxg = jnp.asarray(sx_g, jnp.float32)
     syg = jnp.asarray(sy_g, jnp.float32)
     xs, ys = _dest_grid(oh, ow)
     fx = xs / grid_step
     fy = ys / grid_step
-    sx = interpolate(sxg, fx, fy, "bilinear")
-    sy = interpolate(syg, fx, fy, "bilinear")
-    # The full-res coordinates are bilinear blends of the host grid values,
-    # so their displacement bounds follow from the grid (+1 safety margin) —
-    # use the gather-free banded sampler when the band is narrow enough.
+    return interpolate(sxg, fx, fy, "bilinear"), interpolate(syg, fx, fy,
+                                                             "bilinear")
+
+
+def _grid_axis_1d(g_row, grid_step: int, n: int):
+    """Linear interpolation of a 1D host grid row/column to n output
+    positions (the per-axis half of :func:`interp_map_grid`)."""
+    g = jnp.asarray(g_row, jnp.float32)
+    f = jnp.arange(n, dtype=jnp.float32) / grid_step
+    k = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, g.shape[0] - 2)
+    t = f - k.astype(jnp.float32)
+    return g[k] * (1.0 - t) + g[k + 1] * t
+
+
+# Below this band area the shifted-slice stencil beats two full matmuls;
+# above it (scale-type maps: band area grows ~ (|scale-1| * size)^2) the
+# separable matmul path wins, and past _BAND_CAP it is the only gather-free
+# option.
+_SEP_MIN_AREA = int(os.environ.get("VWTPU_SEP_MIN_AREA", "64"))
+
+
+def warp_from_grid(src, sx_g, sy_g, grid_step: int,
+                   out_shape: Tuple[int, int], interp: str = "bilinear",
+                   edge: str = "zero"):
+    """Device half of :func:`transform_grid`: interpolate the host grids to
+    per-pixel coordinates and sample — gather-free via the shifted-slice
+    banded sampler (narrow displacement bands) or the separable two-matmul
+    sampler (axis-factorable maps), falling back to the XLA gather only when
+    neither applies."""
+    oh, ow = int(out_shape[0]), int(out_shape[1])
+    sx_g = np.asarray(sx_g)
+    sy_g = np.asarray(sy_g)
+    gxx, gyy = np.meshgrid(
+        np.arange(sx_g.shape[1], dtype=np.float64) * grid_step,
+        np.arange(sx_g.shape[0], dtype=np.float64) * grid_step)
+    area = None
+    dy_b = dx_b = None
     if (interp in _TAPS
             and os.environ.get("VWTPU_BANDED_WARP", "1") == "1"
             and np.all(np.isfinite(sx_g)) and np.all(np.isfinite(sy_g))):
+        # The full-res coordinates are bilinear blends of the host grid
+        # values, so displacement bounds follow from the grid (+1 margin).
         half = 0.5 if interp == "nearest" else 0.0
         dxg = sx_g - gxx + half
         dyg = sy_g - gyy + half
@@ -329,7 +451,23 @@ def transform_grid(src, reverse_fn: Callable, out_shape: Tuple[int, int],
         t_lo, t_hi = _TAPS[interp]
         n_y = (dy_b[1] - dy_b[0]) + (t_hi - t_lo) + 1
         n_x = (dx_b[1] - dx_b[0]) + (t_hi - t_lo) + 1
-        if n_y * n_x <= _BAND_CAP:
+        area = n_y * n_x
+        # Axis-separability: every grid row of sx identical and every grid
+        # column of sy identical (scale/translate maps, same-projection
+        # reprojection). Wide-band separable maps take the matmul path.
+        separable = (area > _SEP_MIN_AREA
+                     and np.ptp(sx_g, axis=0).max() <= 1e-4
+                     and np.ptp(sy_g, axis=1).max() <= 1e-4)
+        if area <= min(_BAND_CAP, _SEP_MIN_AREA) or \
+                (area <= _BAND_CAP and not separable):
+            sx, sy = interp_map_grid(sx_g, sy_g, grid_step, out_shape)
             return sample_banded(src, sx, sy, dy_b, dx_b, interp=interp,
                                  edge=edge)
+        if separable:
+            sx1 = _grid_axis_1d(sx_g[0], grid_step, ow)
+            sy1 = _grid_axis_1d(sy_g[:, 0], grid_step, oh)
+            return sample_separable(src, sx1, sy1, interp=interp, edge=edge)
+    sx, sy = interp_map_grid(sx_g, sy_g, grid_step, out_shape)
     return sample(src, sx, sy, interp=interp, edge=edge)
+
+
