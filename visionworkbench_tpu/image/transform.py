@@ -394,15 +394,19 @@ def reverse_map_grid(reverse_fn: Callable, out_shape: Tuple[int, int],
 
 def interp_map_grid(sx_g, sy_g, grid_step: int, out_shape: Tuple[int, int]):
     """Device half, part 1: bilinearly upsample host coordinate grids to
-    full-resolution per-pixel source coordinates ``(sx, sy)``."""
+    full-resolution per-pixel source coordinates ``(sx, sy)``.
+
+    The upsample coordinates are axis-aligned (``x/step``, ``y/step``), so
+    this is the separable two-matmul sampler on the tiny grid — NOT a 2D
+    gather: the gather formulation cost ~8.3 ms per 1-Mpx coordinate plane
+    on this toolchain and dominated the whole reprojection profile."""
     oh, ow = int(out_shape[0]), int(out_shape[1])
     sxg = jnp.asarray(sx_g, jnp.float32)
     syg = jnp.asarray(sy_g, jnp.float32)
-    xs, ys = _dest_grid(oh, ow)
-    fx = xs / grid_step
-    fy = ys / grid_step
-    return interpolate(sxg, fx, fy, "bilinear"), interpolate(syg, fx, fy,
-                                                             "bilinear")
+    fx = jnp.arange(ow, dtype=jnp.float32) / grid_step
+    fy = jnp.arange(oh, dtype=jnp.float32) / grid_step
+    return (sample_separable(sxg, fx, fy, interp="bilinear", edge="constant"),
+            sample_separable(syg, fx, fy, interp="bilinear", edge="constant"))
 
 
 def _grid_axis_1d(g_row, grid_step: int, n: int):

@@ -19,32 +19,60 @@ import math
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from visionworkbench_tpu.core.exceptions import ArgumentErr
 from visionworkbench_tpu.image.filters import generate_pyramid_smoothing_kernel
-from visionworkbench_tpu.image.convolution import separable_convolution_filter
 from visionworkbench_tpu.image.morphology import grassfire
-from visionworkbench_tpu.image.interpolation import interpolate
 from visionworkbench_tpu.math.bbox import BBox2i
 
 
-def _smooth(img):
+def _conv_mat(n_out: int, n_in: int, kernel, stride: int = 1):
+    """(n_out, n_in) replicate-edge 1D convolution matrix, built from
+    in-graph iotas (host-constant bands force einsum relayouts on this
+    toolchain — see CLAUDE.md). Row i sums ``kernel[t] * src[stride*i + t -
+    half]`` with border taps clamped (VW ConstantEdgeExtension)."""
+    lax = jax.lax
+    half = len(kernel) // 2
+    oi = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    ji = lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    mat = jnp.zeros((n_out, n_in), jnp.float32)
+    for t, kv in enumerate(kernel):
+        col = jnp.clip(stride * oi + (t - half), 0, n_in - 1)
+        mat = mat + jnp.float32(kv) * (ji == col)
+    return mat
+
+
+def _smooth(img, stride: int = 1):
+    """Separable [1,4,6,4,1]/16 smoothing (+ optional decimation fused in)
+    as two banded MXU matmuls — single-channel ``conv_general_dilated`` and
+    strided lane slices both lower pathologically on this toolchain (~11 ms
+    per 5-tap 1024^2 blur / gathers); the banded matmuls measure ~1 ms at
+    1024^2 (same trick as the pyramid ``_blur_downsample``)."""
     k = generate_pyramid_smoothing_kernel()
-    return separable_convolution_filter(img, k, k, edge="constant")
+    h, w = img.shape[0], img.shape[1]
+    oh, ow = -(-h // stride), -(-w // stride)
+    my = _conv_mat(oh, h, k, stride)
+    mx = _conv_mat(ow, w, k, stride)
+    rows = jnp.einsum("oh,hw...->ow...", my, img,
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow...,pw->op...", rows, mx,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _downsample(img):
-    return _smooth(img)[::2, ::2]
+    return _smooth(img, stride=2)
 
 
 def _upsample_to(img, shape):
-    """Bilinear 2x upsample to an exact target shape."""
+    """Bilinear 2x upsample to an exact target shape (separable two-matmul
+    formulation; 1-Mpx bilinear gathers cost ~11 ms on this toolchain)."""
+    from visionworkbench_tpu.image.transform import sample_separable
     oh, ow = shape[0], shape[1]
     ys = (jnp.arange(oh, dtype=jnp.float32)) / 2.0
     xs = (jnp.arange(ow, dtype=jnp.float32)) / 2.0
-    gx, gy = jnp.meshgrid(xs, ys)
-    return interpolate(img, gx, gy, "bilinear")
+    return sample_separable(img, xs, ys, interp="bilinear", edge="constant")
 
 
 def gaussian_pyramid(img, levels: int) -> List:
