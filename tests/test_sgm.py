@@ -220,3 +220,22 @@ def test_pyramid_sgm_mask_invalidates(rng):
     valid = np.asarray(dm.valid)
     assert not valid[20:30, 10:40].any()
     assert valid[40:-8, 8:-8].mean() > 0.8
+
+
+def test_pallas_scan_bidir_matches_lax_scan(rng):
+    # The hardware-loop Pallas aggregation kernel is bit-exact vs the
+    # lax.scan engine (interpret mode on CPU; the TPU path is A/B'd in the
+    # perf log).
+    import jax.numpy as jnp
+    from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
+    from visionworkbench_tpu.stereo.sgm import _scan_bidir
+    n, sy, sx, L = 23, 2, 5, 128
+    cost = jnp.asarray(rng.random((n, sy, sx, L)).astype(np.float32) * 30)
+    for shifts in [(0,), (0, 1, -1)]:
+        b = len(shifts)
+        pf = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
+        pr = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
+        ref = _scan_bidir(cost, pf, pr, shifts, 15.0, 750.0)
+        out = pallas_scan_bidir(cost, pf, pr, shifts, 15.0, 750.0,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

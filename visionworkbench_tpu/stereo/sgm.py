@@ -185,6 +185,20 @@ def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
     return ys[:, 0] + jnp.flip(ys[:, 1], 0)                 # (N, sy, sx, L)
 
 
+# Hardware-loop Pallas kernel for the aggregation scans (carry in VMEM
+# scratch; kills the ~2 us/step XLA while-loop + per-step DUS overhead that
+# dominates the SGM profile — docs/roofline.md). Bit-exact vs the lax.scan
+# path (tests/test_sgm.py); knob for A/B and CPU fallbacks.
+_SGM_PALLAS = os.environ.get("VWTPU_SGM_PALLAS", "1") == "1"
+
+
+def _scan_engine(cost_t, pf, pr, shifts, p1, p2):
+    if _SGM_PALLAS and jax.devices()[0].platform != "cpu":
+        from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
+        return pallas_scan_bidir(cost_t, pf, pr, shifts, p1, p2)
+    return _scan_bidir(cost_t, pf, pr, shifts, p1, p2)
+
+
 def _sgm_aggregate(cost, img, p1: float, p2: float):
     """8-path SGM aggregation as two bidirectional batched scans.
     cost (H, W, sy, sx)."""
@@ -197,13 +211,13 @@ def _sgm_aggregate(cost, img, p1: float, p2: float):
                         for dy in (0, 1, -1)], 0)   # (3, H, W)
         return jnp.transpose(pd, (2, 0, 1))
 
-    acc_x = _scan_bidir(cost_tx, pdx(1), pdx(-1), (0, 1, -1), p1, p2)
+    acc_x = _scan_engine(cost_tx, pdx(1), pdx(-1), (0, 1, -1), p1, p2)
     del cost_tx
 
     cost_ty = jnp.transpose(cost, (0, 2, 3, 1))     # (H, sy, sx, W)
     pd_d = jnp.abs(img - _shift_img(img, 1, 0))[:, None, :]    # (H, 1, W)
     pd_u = jnp.abs(img - _shift_img(img, -1, 0))[:, None, :]
-    acc_y = _scan_bidir(cost_ty, pd_d, pd_u, (0,), p1, p2)
+    acc_y = _scan_engine(cost_ty, pd_d, pd_u, (0,), p1, p2)
     return (jnp.transpose(acc_x, (3, 0, 1, 2)) +
             jnp.transpose(acc_y, (0, 3, 1, 2)))     # (H, W, sy, sx)
 
