@@ -229,13 +229,14 @@ def test_pallas_scan_bidir_matches_lax_scan(rng):
     import jax.numpy as jnp
     from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
     from visionworkbench_tpu.stereo.sgm import _scan_bidir
-    n, sy, sx, L = 23, 2, 5, 128
+    n, sy, sx, L = 24, 2, 5, 128
     cost = jnp.asarray(rng.random((n, sy, sx, L)).astype(np.float32) * 30)
     for shifts in [(0,), (0, 1, -1)]:
         b = len(shifts)
         pf = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
         pr = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
         ref = _scan_bidir(cost, pf, pr, shifts, 15.0, 750.0)
-        out = pallas_scan_bidir(cost, pf, pr, shifts, 15.0, 750.0,
-                                interpret=True)
-        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+        for tb in (1, 4):
+            out = pallas_scan_bidir(cost, pf, pr, shifts, 15.0, 750.0,
+                                    interpret=True, tb=tb)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -72,32 +72,54 @@ def _path_update(prior, cost, pdiff, p1: float, p2: float):
 
 
 def _make_kernel(b: int, sy: int, sx: int, nl: int, shifts: Tuple[int, ...],
-                 p1: float, p2: float):
-    def kernel(cf_ref, cr_ref, pf_ref, pr_ref, yf_ref, yr_ref, carry):
-        t = pl.program_id(0)
+                 p1: float, p2: float, tb: int):
+    def step(c, cost, pd):
+        prior = jnp.stack([_shift_lane_kernel(c[:, i], s)
+                           for i, s in enumerate(shifts)], 1)
+        return _path_update(prior, cost[:, None], pd, p1, p2)
 
-        @pl.when(t == 0)
+    def kernel(cf_ref, cr_ref, pf_ref, pr_ref, yf_ref, yr_ref, carry):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
         def _init():
             carry[:] = jnp.full((2, b, sy, sx, nl), _BIG, jnp.float32)
 
-        prev = carry[:]                                   # (2, B, sy, sx, L)
-        prior = jnp.stack([_shift_lane_kernel(prev[:, i], s)
-                           for i, s in enumerate(shifts)], 1)
-        cost = jnp.stack([cf_ref[0], cr_ref[0]], 0)       # (2, sy, sx, L)
-        pd = jnp.stack([pf_ref[0], pr_ref[0]], 0)         # (2, B, L)
-        out = _path_update(prior, cost[:, None], pd, p1, p2)
-        # (2, B, sy, sx, L)
-        carry[:] = out
-        yf_ref[0] = jnp.sum(out[0], 0)
-        yr_ref[0] = jnp.sum(out[1], 0)
+        if tb == 1:
+            out = step(carry[:], jnp.stack([cf_ref[0], cr_ref[0]], 0),
+                       jnp.stack([pf_ref[0], pr_ref[0]], 0))
+            carry[:] = out
+            yf_ref[0] = jnp.sum(out[0], 0)
+            yr_ref[0] = jnp.sum(out[1], 0)
+        else:
+            # Multi-column block: the sequential recurrence runs in an
+            # in-kernel fori_loop (register loop) so the per-grid-step
+            # pipeline overhead amortizes over tb columns.
+            def body(i, c):
+                out = step(c, jnp.stack([cf_ref[i], cr_ref[tb - 1 - i]], 0),
+                           jnp.stack([pf_ref[i], pr_ref[tb - 1 - i]], 0))
+                yf_ref[i] = jnp.sum(out[0], 0)
+                yr_ref[tb - 1 - i] = jnp.sum(out[1], 0)
+                return out
+
+            carry[:] = lax.fori_loop(0, tb, body, carry[:])
 
     return kernel
 
 
+import os
+
+# Columns per grid step: >1 amortizes Mosaic's per-grid-step pipeline cost
+# over an in-kernel register loop (the lever the tb=1 measurement pointed
+# at). Opt-in until A/B'd on hardware.
+_TB = int(os.environ.get("VWTPU_SGM_TB", "1"))
+
+
 @functools.partial(jax.jit, static_argnames=("shifts", "p1", "p2",
-                                             "interpret"))
+                                             "interpret", "tb"))
 def pallas_scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts: Tuple[int, ...],
-                      p1: float, p2: float, interpret: bool = False):
+                      p1: float, p2: float, interpret: bool = False,
+                      tb: int = None):
     """Drop-in replacement for ``stereo.sgm._scan_bidir``: both directions of
     all ``shifts`` path directions in one Pallas kernel.
 
@@ -107,23 +129,29 @@ def pallas_scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts: Tuple[int, ...],
     n, sy, sx, nl = cost_t.shape
     b = pdiffs_f.shape[1]
     assert b == len(shifts)
-    kernel = _make_kernel(b, sy, sx, nl, tuple(shifts), float(p1), float(p2))
+    if tb is None:
+        tb = _TB
+    if tb < 1 or n % tb != 0:
+        tb = 1
+    kernel = _make_kernel(b, sy, sx, nl, tuple(shifts), float(p1), float(p2),
+                          tb)
+    ng = n // tb
     fwd = lambda t: (t, 0, 0, 0)                       # noqa: E731
-    rev = lambda t: (n - 1 - t, 0, 0, 0)               # noqa: E731
+    rev = lambda t: (ng - 1 - t, 0, 0, 0)              # noqa: E731
     fwd3 = lambda t: (t, 0, 0)                         # noqa: E731
-    rev3 = lambda t: (n - 1 - t, 0, 0)                 # noqa: E731
+    rev3 = lambda t: (ng - 1 - t, 0, 0)                # noqa: E731
     yf, yr = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((1, sy, sx, nl), fwd),
-            pl.BlockSpec((1, sy, sx, nl), rev),
-            pl.BlockSpec((1, b, nl), fwd3),
-            pl.BlockSpec((1, b, nl), rev3),
+            pl.BlockSpec((tb, sy, sx, nl), fwd),
+            pl.BlockSpec((tb, sy, sx, nl), rev),
+            pl.BlockSpec((tb, b, nl), fwd3),
+            pl.BlockSpec((tb, b, nl), rev3),
         ],
         out_specs=[
-            pl.BlockSpec((1, sy, sx, nl), fwd),
-            pl.BlockSpec((1, sy, sx, nl), rev),
+            pl.BlockSpec((tb, sy, sx, nl), fwd),
+            pl.BlockSpec((tb, sy, sx, nl), rev),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, sy, sx, nl), jnp.float32),
