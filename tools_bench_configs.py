@@ -185,10 +185,32 @@ def main(argv=None) -> int:
                for i in range(args.iters)]
         dt = _timed(fn, ins, lambda o: np.asarray(jax.tree.leaves(o)[0]),
                     ship=args.ship)
-        report("reproject+multiband-mosaic", n_img * sh * sh / dt / 1e6,
-               "Mp/s")
+        # Pixel-count definition: this config divides by OUTPUT CANVAS pixels
+        # (n*n), like every other config. Rounds <= 2 divided by source
+        # pixels (n_img*sh*sh ~ 1.47 Mp at n=1024, a 1.41x larger count) —
+        # cross-round comparisons must rescale (110.7 source-Mp/s == 78.7
+        # canvas-Mp/s).
+        report("reproject+multiband-mosaic", n * n / dt / 1e6, "Mp/s")
 
-    if 6 in args.configs:
+    if 6 in args.configs and len(args.configs) > 1:
+        # Config 6 measures the default (Pallas) SGM engine and engines must
+        # be measured in separate processes (same-process A/Bs skewed the
+        # round-2 number 99.8 -> 62 Mp/s): run it in a CLEAN subprocess and
+        # forward its JSON line.
+        import subprocess
+        cmd = [sys.executable, __file__, "--configs", "6",
+               "--iters", str(args.iters)]
+        if args.quick:
+            cmd.append("--quick")
+        if args.ship:
+            cmd.append("--ship")
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+    elif 6 in args.configs:
         # Config 6: pyramid SGM (census 5x5, parabola subpixel, 64x2 search)
         # — the reference's marquee algorithm (SGM.cc). 512^2 frames: the
         # aggregation working set is ~4x the (H, W, sy, sx) volume.

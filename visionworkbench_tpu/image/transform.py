@@ -440,8 +440,6 @@ def warp_from_grid(src, sx_g, sy_g, grid_step: int,
     gxx, gyy = np.meshgrid(
         np.arange(sx_g.shape[1], dtype=np.float64) * grid_step,
         np.arange(sx_g.shape[0], dtype=np.float64) * grid_step)
-    area = None
-    dy_b = dx_b = None
     if (interp in _TAPS
             and os.environ.get("VWTPU_BANDED_WARP", "1") == "1"
             and np.all(np.isfinite(sx_g)) and np.all(np.isfinite(sy_g))):
@@ -473,5 +471,3 @@ def warp_from_grid(src, sx_g, sy_g, grid_step: int,
             return sample_separable(src, sx1, sy1, interp=interp, edge=edge)
     sx, sy = interp_map_grid(sx_g, sy_g, grid_step, out_shape)
     return sample(src, sx, sy, interp=interp, edge=edge)
-
-

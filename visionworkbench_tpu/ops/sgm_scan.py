@@ -18,6 +18,7 @@ pre-aligned; caller adds the two output arrays).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -45,7 +46,13 @@ def _shift_lane_kernel(a, d: int):
 
 def _grid_min3(p):
     """Exact 3x3 neighborhood min over the (sy, sx) axes of (..., sy, sx, L);
-    out-of-grid neighbors count as +BIG (mirrors stereo.sgm._grid_min3)."""
+    out-of-grid neighbors count as +BIG.
+
+    NOTE: twin of ``stereo.sgm._grid_min3`` / ``_path_update`` — the pallas
+    copies differ only in the Python-float _BIG (jnp scalars become captured
+    constants and fail pallas tracing) and the pltpu.roll lane shift. Any
+    P1/P2 semantic change must be made in BOTH modules; equivalence is pinned
+    bit-exactly by tests/test_sgm.py (interpret-mode kernel vs lax.scan)."""
     sy, sx = p.shape[-3], p.shape[-2]
     q = p
     if sy > 1:
@@ -106,8 +113,6 @@ def _make_kernel(b: int, sy: int, sx: int, nl: int, shifts: Tuple[int, ...],
 
     return kernel
 
-
-import os
 
 # Columns per grid step: >1 amortizes Mosaic's per-grid-step pipeline cost
 # over an in-kernel register loop (the lever the tb=1 measurement pointed

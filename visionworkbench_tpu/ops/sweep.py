@@ -1,0 +1,320 @@
+"""VMEM-resident Pallas TPU kernel for the block-matching cost-volume sweep
+(ref the two hottest loops: ``best_of_search_convolution``,
+``src/vw/Stereo/Correlation.cc:62-119`` + ``fast_box_sum``,
+``Stereo/Algorithms.h:41-131``; SURVEY.md §2.13 items 1-2).
+
+Second-generation kernel. The round-1 kernel (``ops/cost_volume.py``) lost
+1.8x to the XLA chunked-volume engine because it issued one small
+(64x78)x(78x128) matmul pair PER DISPARITY, serialized through Mosaic's loop
+machinery (docs/roofline.md:58-70). This kernel fixes exactly that:
+
+* The whole per-tile cost volume lives in VMEM scratch — HBM sees only the
+  left/right tile blocks in (~55 KB) and the per-tile winner products out
+  (arg/best/worst + the 9-entry parabola patch), ~70x less traffic than the
+  volume-materializing XLA formulation (4.6 GB/frame -> ~65 MB at 1024^2).
+* Box sums run as banded 0/1-matrix matmuls BATCHED over a whole
+  disparity-row group: one (T, lh8) x (lh8, ex_pad*W) MXU pass per group
+  instead of ex_pad small ones.
+* fp32 operands take a two-term bf16 split (``hi = bf16(x)``,
+  ``lo = bf16(x - hi)``; the 0/1 band is exact in bf16) — 2 MXU passes per
+  matmul instead of fp32-HIGHEST's 6. Error per box sum is ~|x|*2^-18*sqrt(k)
+  — BELOW fp32 sequential-accumulation rounding, so results are
+  fp32-grade (and bit-exact when costs are bf16-representable, e.g. 8-bit
+  quantized inputs; see tests/test_sweep_kernel.py).
+* The running (best, worst, first-argmin) reduction happens in VMEM per
+  disparity-row group; the 3x3 parabola patch of each winner is extracted
+  from the resident volume by masked-sum select chains — no second sweep,
+  no per-pixel gather.
+
+Semantics match ``stereo.correlation._search_with_patches`` /
+``_best_of_search`` exactly: first-best-wins argmin over the interior
+window in (dy, dx) row-major order, running worst = max, flat-region
+invalidation via best == worst (``Correlation.cc:95-133``).
+
+Mosaic constraints shaped the code: DMA start offsets are aligned down to
+(8, 128) with the remainder rolled inside VMEM; VMEM slice extents are
+(8-sublane)-aligned (the disparity-row group width ``ex_pad`` is padded to
+a power of two >= 8); ``pltpu.roll`` takes non-negative shifts only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from visionworkbench_tpu.core.exceptions import ArgumentErr
+
+_BIGF = 3.0e38   # python floats: jnp scalars fail pallas tracing
+_BIGI = 2 ** 30
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _ceil128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _pow2_at_least(x: int, lo: int = 8) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
+def _split_dot(a_bf16, x, dims, precision: str):
+    """dot_general(band, x) where ``a_bf16`` is an exact-in-bf16 0/1 band.
+    ``split2``: two bf16 passes via x = hi + lo (see module docstring);
+    ``highest``: one fp32 HIGHEST dot (6 passes, bit-exact reference)."""
+    if precision == "highest":
+        return lax.dot_general(a_bf16.astype(jnp.float32), x, dims,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = lax.dot_general(a_bf16, hi, dims,
+                          preferred_element_type=jnp.float32)
+    return out + lax.dot_general(a_bf16, lo, dims,
+                                 preferred_element_type=jnp.float32)
+
+
+def _split_dot_rhs(x, b_bf16, dims, precision: str):
+    """Mirror of :func:`_split_dot` with the band on the right."""
+    if precision == "highest":
+        return lax.dot_general(x, b_bf16.astype(jnp.float32), dims,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = lax.dot_general(hi, b_bf16, dims,
+                          preferred_element_type=jnp.float32)
+    return out + lax.dot_general(lo, b_bf16, dims,
+                                 preferred_element_type=jnp.float32)
+
+
+def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
+                       cost_type: str, want_patches: bool, precision: str):
+    """Kernel factory. Extended search grid (ey, ex) in
+    [0, sy_e) x [0, ex_pad): with patches the grid carries the ±1 parabola
+    ring (sy_e = sy + 2, candidate disparity = off + (ex-1, ey-1)); without
+    it the grid is the plain window (candidate = off + (ex, ey))."""
+    ring = 1 if want_patches else 0
+    sx_e, sy_e = sx + 2 * ring, sy + 2 * ring
+    ex_pad = _pow2_at_least(sx_e)
+    lh = tile + kh - 1
+    lw = tile + kw - 1
+    lh8 = _ceil8(lh)
+    rh8 = _ceil8(lh8 + sy_e - 1)
+    w_all = _ceil128(lw + sx_e - 1)
+    n_groups = sy_e
+    # interior (searched-window) bounds in extended coords
+    ex_lo, ex_hi = ring, ring + sx - 1
+    ey_lo, ey_hi = ring, ring + sy - 1
+
+    def kernel(offs_ref, l_hbm, r_hbm, *refs):
+        if want_patches:
+            arg_ref, best_ref, worst_ref = refs[0], refs[1], refs[2]
+            pat_refs = refs[3:12]
+            l_s, r_s, vol2, sems = refs[12], refs[13], refs[14], refs[15]
+        else:
+            arg_ref, best_ref, worst_ref = refs[0], refs[1], refs[2]
+            l_s, r_s, sems = refs[3], refs[4], refs[5]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nx = pl.num_programs(1)
+        t = i * nx + j
+        off_x = offs_ref[t, 0]
+        off_y = offs_ref[t, 1]
+
+        # ---- DMA (aligned-down starts; remainder rolled in VMEM) ----------
+        bx = j * tile
+        bx_al = (bx // 128) * 128
+        brem = bx - bx_al
+        ldma = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(i * tile, lh8), pl.ds(bx_al, w_all + 128)], l_s,
+            sems.at[0])
+        ry = i * tile + off_y
+        rx = bx + off_x
+        ry_al = (ry // 8) * 8
+        rx_al = (rx // 128) * 128
+        rrem_y = ry - ry_al
+        rrem_x = rx - rx_al
+        rdma = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(ry_al, rh8 + 8), pl.ds(rx_al, w_all + 128)], r_s,
+            sems.at[1])
+        ldma.start()
+        rdma.start()
+        ldma.wait()
+        rdma.wait()
+        l_all = pltpu.roll(l_s[:], w_all + 128 - brem, 1)
+        left = lax.slice(l_all, (0, 0), (lh8, w_all))
+        r_all = pltpu.roll(r_s[:], rh8 + 8 - rrem_y, 0)
+        r_all = pltpu.roll(r_all, w_all + 128 - rrem_x, 1)
+        r_use = lax.slice(r_all, (0, 0), (rh8, w_all))
+
+        # ---- banded box-sum matrices (in-kernel iotas; bf16-exact 0/1) ----
+        oi = lax.broadcasted_iota(jnp.int32, (tile, lh8), 0)
+        ii = lax.broadcasted_iota(jnp.int32, (tile, lh8), 1)
+        b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.bfloat16)
+        ci = lax.broadcasted_iota(jnp.int32, (w_all, tile), 0)
+        co = lax.broadcasted_iota(jnp.int32, (w_all, tile), 1)
+        b_col = ((ci >= co) & (ci < co + kw)).astype(jnp.bfloat16)
+
+        best = jnp.full((tile, tile), _BIGF, jnp.float32)
+        worst = jnp.full((tile, tile), -_BIGF, jnp.float32)
+        argp = jnp.zeros((tile, tile), jnp.int32)
+
+        exm3 = lax.broadcasted_iota(jnp.int32, (tile, ex_pad, tile), 1)
+        in_ex = (exm3 >= ex_lo) & (exm3 <= ex_hi)
+
+        for ey in range(n_groups):
+            r_ey = lax.slice(r_use, (ey, 0), (ey + lh8, w_all))
+            planes = []
+            r_cur = r_ey
+            for ex in range(ex_pad):
+                if ex > 0:
+                    r_cur = pltpu.roll(r_cur, w_all - 1, 1)
+                if ex < sx_e:
+                    if cost_type == "abs":
+                        planes.append(jnp.abs(left - r_cur))
+                    else:
+                        d = left - r_cur
+                        planes.append(d * d)
+                else:
+                    planes.append(planes[-1])   # pad plane, never selected
+            chunk = jnp.stack(planes, 0)                 # (ex_pad, lh8, W)
+            # batched separable box sum: both stages one matmul per group
+            rs = _split_dot(b_row, chunk, (((1,), (1,)), ((), ())),
+                            precision)                   # (tile, ex_pad, W)
+            cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
+                                precision)               # (tile, ex_pad, T)
+            if want_patches:
+                vol2[:, ey * ex_pad:(ey + 1) * ex_pad, :] = cs
+            if ey_lo <= ey <= ey_hi:
+                cmin = jnp.where(in_ex, cs, _BIGF)
+                gmin = jnp.min(cmin, axis=1, keepdims=True)
+                ids = jnp.where(cmin == gmin, exm3, _BIGI)
+                exarg = jnp.min(ids, axis=1)             # first-min ex
+                gmax = jnp.max(jnp.where(in_ex, cs, -_BIGF), axis=1)
+                g = gmin[:, 0, :]
+                better = g < best
+                best = jnp.where(better, g, best)
+                argp = jnp.where(better, ey * ex_pad + exarg, argp)
+                worst = jnp.maximum(worst, gmax)
+
+        arg_ref[0, 0] = argp
+        best_ref[0, 0] = best
+        worst_ref[0, 0] = worst
+
+        if want_patches:
+            ey_w = argp // ex_pad                        # (tile, tile)
+            ex_w = argp - ey_w * ex_pad
+            eyk = ey_w[:, None, :]
+            exk = ex_w[:, None, :]
+            for r in (-1, 0, 1):
+                row = jnp.zeros((tile, ex_pad, tile), jnp.float32)
+                for g in range(n_groups):
+                    slab = vol2[:, g * ex_pad:(g + 1) * ex_pad, :]
+                    row = row + jnp.where(eyk + r == g, slab, 0.0)
+                for c in (-1, 0, 1):
+                    k = (r + 1) * 3 + (c + 1)
+                    pat_refs[k][0, 0] = jnp.sum(
+                        jnp.where(exm3 == exk + c, row, 0.0), axis=1)
+
+    return kernel, lh8, rh8, w_all, ex_pad
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "s_x", "s_y", "kw", "kh", "cost_type", "want_patches",
+    "precision", "interpret"))
+def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
+                 kw: int, kh: int, cost_type: str = "abs",
+                 want_patches: bool = True, precision: str = "split2",
+                 interpret: bool = False):
+    """Fused per-tile disparity sweep, matching the contracts of
+    ``stereo.pyramid_correlation._tiled_search_patches`` (``want_patches``)
+    and ``_tiled_search`` (plain window).
+
+    ``base``: padded left frame — tile (ty, tx) reads rows
+    ``ty*tile .. ty*tile + tile + kh - 2``. ``match``: the frame searched;
+    with patches its origin is shifted (-1, -1) and each tile window covers
+    the ±1 ring (size ``tile + k - 1 + s + 1`` per axis), exactly like the
+    XLA path. ``offsets`` (nty, ntx, 2) int32 per-tile (dx, dy), pre-clamped
+    by the caller.
+
+    Returns ``(disp, valid, patch)`` with patch None when
+    ``want_patches=False``; sizes (nty*tile, ntx*tile, ...); disp = offset +
+    in-window argbest (int32).
+    """
+    if cost_type not in ("abs", "sq"):
+        raise ArgumentErr("pallas_sweep supports abs/sq costs")
+    base = jnp.asarray(base, jnp.float32)
+    match = jnp.asarray(match, jnp.float32)
+    nty, ntx = offsets.shape[0], offsets.shape[1]
+    kernel, lh8, rh8, w_all, ex_pad = _make_sweep_kernel(
+        tile, kw, kh, s_x, s_y, cost_type, want_patches, precision)
+    ring = 1 if want_patches else 0
+    sy_e = s_y + 2 * ring
+
+    # Pad frames so worst-case (aligned-down + extended) DMAs stay in bounds.
+    need_bh = (nty - 1) * tile + lh8
+    need_bw = _ceil128((ntx - 1) * tile) + w_all + 128
+    bpad = jnp.pad(base, ((0, max(need_bh - base.shape[0], 0)),
+                          (0, max(need_bw - base.shape[1], 0))), mode="edge")
+    need_mh = (nty - 1) * tile + rh8 + 8 + s_y + sy_e
+    need_mw = _ceil128((ntx - 1) * tile) + w_all + 256
+    mpad = jnp.pad(match, ((0, max(need_mh - match.shape[0], 0)),
+                           (0, max(need_mw - match.shape[1], 0))), mode="edge")
+    offs_flat = offsets.reshape(-1, 2).astype(jnp.int32)
+
+    out4 = pl.BlockSpec((1, 1, tile, tile), lambda i, j, offs: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    f32t = jax.ShapeDtypeStruct((nty, ntx, tile, tile), jnp.float32)
+    i32t = jax.ShapeDtypeStruct((nty, ntx, tile, tile), jnp.int32)
+    n_out = 12 if want_patches else 3
+    scratch = [
+        pltpu.VMEM((lh8, w_all + 128), jnp.float32),
+        pltpu.VMEM((rh8 + 8, w_all + 128), jnp.float32),
+    ]
+    if want_patches:
+        scratch.append(pltpu.VMEM((tile, sy_e * ex_pad, tile), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[out4] * n_out,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[i32t, f32t, f32t] + ([f32t] * 9 if want_patches else []),
+        interpret=interpret,
+    )(offs_flat, bpad, mpad)
+    argp, best, worst = outs[0], outs[1], outs[2]
+
+    def untile(a):
+        return a.transpose(0, 2, 1, 3).reshape(nty * tile, ntx * tile)
+
+    argp, best, worst = untile(argp), untile(best), untile(worst)
+    valid = best != worst
+    ey = argp // ex_pad
+    ex = argp - ey * ex_pad
+    rel = jnp.stack([ex - ring, ey - ring], -1)
+    off_map = jnp.repeat(jnp.repeat(offsets.astype(jnp.int32), tile, 0),
+                         tile, 1)
+    disp = jnp.where(valid[..., None], rel + off_map, 0)
+    patch = None
+    if want_patches:
+        patch = jnp.stack([untile(p) for p in outs[3:12]], axis=-1)
+    return disp, valid, patch

@@ -192,8 +192,18 @@ def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
 _SGM_PALLAS = os.environ.get("VWTPU_SGM_PALLAS", "1") == "1"
 
 
+def _pallas_target_platform() -> str:
+    """Platform the computation will actually lower for: respects
+    ``jax.default_device`` / ``jax_platforms`` overrides, not just device 0
+    (a TPU-present process running SGM on CPU must not compile Mosaic)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def _scan_engine(cost_t, pf, pr, shifts, p1, p2):
-    if _SGM_PALLAS and jax.devices()[0].platform != "cpu":
+    if _SGM_PALLAS and _pallas_target_platform() == "tpu":
         from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
         return pallas_scan_bidir(cost_t, pf, pr, shifts, p1, p2)
     return _scan_bidir(cost_t, pf, pr, shifts, p1, p2)

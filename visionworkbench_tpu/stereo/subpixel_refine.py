@@ -121,7 +121,12 @@ def affine_subpixel(disparity: DisparityMap, left, right, kernel_size,
     """Affine-adaptive-window subpixel (ref ``subpixel_optimized_affine_2d``,
     Correlate.cc:848-1080): the plain weighted affine Gauss-Newton core of
     the Bayes-EM family — the dense gather-free kernel with the EM mixture
-    weighting disabled (``em_iters=0``), production-scale on full frames."""
+    weighting disabled (``em_iters=0``), production-scale on full frames.
+
+    Semantic change vs rounds <= 1: failed fits (divergent affine params /
+    degenerate weights) are now INVALIDATED (disparity zeroed, valid=False)
+    like the EM kernel, instead of silently reverting to the integer
+    disparity with valid kept — callers see sparser but honest masks."""
     return bayes_em_subpixel(disparity, left, right, kernel_size,
                              em_iters=0, outer_iters=int(iterations),
                              prefilter_mode=prefilter_mode,
