@@ -230,13 +230,64 @@ def test_pallas_scan_bidir_matches_lax_scan(rng):
     from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
     from visionworkbench_tpu.stereo.sgm import _scan_bidir
     n, sy, sx, L = 24, 2, 5, 128
-    cost = jnp.asarray(rng.random((n, sy, sx, L)).astype(np.float32) * 30)
+    bad = 255.0 + 750.0
+    # integer-valued costs/diffs like the real census pipeline
+    cost = jnp.asarray(np.floor(rng.random((n, sy, sx, L)) * 30)
+                       .astype(np.float32))
     for shifts in [(0,), (0, 1, -1)]:
         b = len(shifts)
-        pf = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
-        pr = jnp.asarray(rng.random((n, b, L)).astype(np.float32) * 20)
-        ref = _scan_bidir(cost, pf, pr, shifts, 15.0, 750.0)
+        pf = jnp.asarray(np.floor(rng.random((n, b, L)) * 20).astype(np.float32))
+        pr = jnp.asarray(np.floor(rng.random((n, b, L)) * 20).astype(np.float32))
+        ref = _scan_bidir(cost, pf, pr, shifts, 15.0, 750.0, bad)
         for tb in (1, 4):
-            out = pallas_scan_bidir(cost, pf, pr, shifts, 15.0, 750.0,
+            out = pallas_scan_bidir(cost, pf, pr, shifts, 15.0, 750.0, bad,
                                     interpret=True, tb=tb)
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_pallas_mgm_kernels_match_lax_scan(rng):
+    # The MGM hardware-loop kernels (plain bidirectional + sheared forward)
+    # are bit-exact vs the lax.scan engines in interpret mode.
+    import jax.numpy as jnp
+    from visionworkbench_tpu.ops.sgm_scan import pallas_mgm_bidir, pallas_mgm_fwd
+    from visionworkbench_tpu.stereo import sgm as S
+    n, sy, sx, L = 16, 2, 5, 128
+    p1, p2 = 15.0, 750.0
+    bad = 255.0 + p2
+    cost = jnp.asarray(np.floor(rng.random((n, sy, sx, L)) * 30)
+                       .astype(np.float32))
+    pf = jnp.asarray(np.floor(rng.random((n, L)) * 20).astype(np.float32))
+    pr = jnp.asarray(np.floor(rng.random((n, L)) * 20).astype(np.float32))
+    gf = jnp.asarray(rng.random((n, L)) > 0.2)
+    gr = jnp.asarray(rng.random((n, L)) > 0.2)
+    old = S._SGM_PALLAS
+    try:
+        S._SGM_PALLAS = False   # force the lax.scan reference path
+        ref = S._mgm_plain_scan(cost, pf, pr, gf, gr, p1, p2, bad)
+    finally:
+        S._SGM_PALLAS = old
+    out = pallas_mgm_bidir(cost, pf, pr, gf, gr, (1, -1), p1, p2, bad,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    # sheared-forward kernel vs its scan body
+    b = 4
+    cT = jnp.asarray(np.floor(rng.random((n, b, sy, sx, L)) * 30)
+                     .astype(np.float32))
+    pT = jnp.asarray(np.floor(rng.random((n, b, L)) * 20).astype(np.float32))
+    gT = jnp.asarray(rng.random((n, b, L)) > 0.2)
+
+    def step(carry, inp):
+        cx, px, gx = inp
+        a = S._path_update(carry, cx, px, p1, p2, bad)
+        bb = S._path_update(S._shift_lane(carry, 1, bad), cx, px, p1, p2, bad)
+        o = jnp.floor((a + bb) * 0.5)
+        o = jnp.where(gx[:, None, None, :], o, cx)
+        o = S._force_bad(o, cx, bad)
+        return o, o
+
+    import jax as _jax
+    init = jnp.full((b, sy, sx, L), bad, jnp.float32)
+    _, ref2 = _jax.lax.scan(step, init, (cT, pT, gT))
+    out2 = pallas_mgm_fwd(cT, pT, gT, (0, 1), p1, p2, bad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref2), np.asarray(out2))

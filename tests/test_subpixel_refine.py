@@ -162,3 +162,34 @@ def test_pyramid_em_subpixel_integration(rng):
     ex = np.abs(d[core][..., 0] - true[0])[v]
     assert v.mean() > 0.8
     assert np.median(ex) < 0.25
+
+
+def test_pyramid_em_levels_active_accuracy():
+    # At production scale (256^2, smooth texture) the coarse-to-fine
+    # PyramidSubpixelView loop (SubpixelView.cc:33-210) engages (2 levels)
+    # and a 3-iteration finishing pass matches full-iteration accuracy.
+    from visionworkbench_tpu.stereo.subpixel_refine import bayes_em_subpixel
+    true = (2.3, 1.25)
+    h, w = 256, 256
+    yy, xx = np.mgrid[0:h, 0:w + 8].astype(np.float64)
+
+    def tex(x, y):
+        return (np.sin(0.12 * x) * np.cos(0.09 * y)
+                + 0.5 * np.sin(0.05 * x + 0.07 * y) + 1.5) / 3.0
+
+    right = tex(xx, yy).astype(np.float32)
+    left = tex(xx + true[0], yy + true[1])[:, :w].astype(np.float32)
+    disp = np.zeros((h, w, 2), np.int32)
+    disp[..., 0] = 2
+    disp[..., 1] = 1
+    out = bayes_em_subpixel(
+        DisparityMap(jnp.asarray(disp), jnp.asarray(np.ones((h, w), bool))),
+        jnp.asarray(left), jnp.asarray(right[:h]), (7, 7), em_iters=2,
+        max_pyramid_levels=2, fine_outer_iters=3)
+    d = np.asarray(out.disparity)
+    v = np.asarray(out.valid)
+    core = np.s_[16:-16, 16:-16]
+    vc = v[core]
+    assert vc.mean() > 0.5
+    assert np.median(np.abs(d[core][vc][..., 0] - true[0])) < 0.1
+    assert np.median(np.abs(d[core][vc][..., 1] - true[1])) < 0.1

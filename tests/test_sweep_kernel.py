@@ -1,0 +1,87 @@
+"""Round-3 VMEM-resident sweep kernel (``ops/sweep.py``) vs the XLA engine.
+
+The interpret-mode kernel must reproduce ``_tiled_search`` /
+``_tiled_search_patches`` exactly:
+
+* disp/valid bit-exact for 8-bit-quantized inputs even under the two-term
+  bf16 split (integer-scaled costs are exact through both split passes);
+* fp32-grade agreement for arbitrary float inputs (the split error is below
+  fp32 accumulation rounding, so argmins may only flip on near-ties).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visionworkbench_tpu.ops.sweep import pallas_sweep
+from visionworkbench_tpu.stereo.pyramid_correlation import (
+    _tiled_search, _tiled_search_patches,
+)
+
+
+def _mk(rng, nty, ntx, tile, kw, kh, s_x, s_y, ring, quantized):
+    lh, lw = nty * tile + kh - 1, ntx * tile + kw - 1
+    mh = lh + s_y - 1 + 2 * ring + 6   # slack for offsets
+    mw = lw + s_x - 1 + 2 * ring + 6
+    base = rng.random((lh, lw)).astype(np.float32)
+    match = rng.random((mh, mw)).astype(np.float32)
+    # embed shifted copies so there are real winners
+    match[2:2 + lh, 3:3 + lw] = base
+    if quantized:
+        base = np.round(base * 255) / 256.0
+        match = np.round(match * 255) / 256.0
+    offsets = rng.integers(0, 3, size=(nty, ntx, 2)).astype(np.int32)
+    return jnp.asarray(base), jnp.asarray(match), jnp.asarray(offsets)
+
+
+@pytest.mark.parametrize("cost", ["abs", "sq"])
+def test_sweep_patches_bitexact_quantized(rng, cost):
+    tile, kw, kh, s_x, s_y = 16, 5, 3, 6, 4
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, cost)
+    for precision in ("highest", "split2"):
+        d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                                  kw, kh, cost, want_patches=True,
+                                  precision=precision, interpret=True)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        if precision == "split2" and cost == "sq":
+            # squared 8-bit costs span 16 bits — beyond one bf16 term, so
+            # split2 patches are fp32-grade (~1e-5), not bit-exact
+            np.testing.assert_allclose(
+                np.asarray(p1)[np.asarray(v0)], np.asarray(p0)[np.asarray(v0)],
+                rtol=1e-4, atol=1e-4)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(p1)[np.asarray(v0)], np.asarray(p0)[np.asarray(v0)])
+
+
+def test_sweep_plain_matches_tiled_search(rng):
+    tile, kw, kh, s_x, s_y = 16, 5, 5, 5, 3
+    base, match, offsets = _mk(rng, 2, 3, tile, kw, kh, s_x, s_y, 0, True)
+    d0, v0 = _tiled_search(base, match, offsets, tile, s_x, s_y, kw, kh,
+                           "abs", 5)
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y, kw, kh,
+                              "abs", want_patches=False, precision="split2",
+                              interpret=True)
+    assert p1 is None
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+
+def test_sweep_split2_float_agreement(rng):
+    """Arbitrary float inputs: split2 argmins agree with the fp32 engine on
+    essentially all pixels (ties only), costs to ~1e-5."""
+    tile, kw, kh, s_x, s_y = 16, 5, 3, 6, 4
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, False)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, "abs")
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, "abs", want_patches=True,
+                              precision="split2", interpret=True)
+    agree = (np.asarray(d1) == np.asarray(d0)).all(-1)
+    assert agree.mean() > 0.999, agree.mean()
+    both = np.asarray(v0) & np.asarray(v1) & agree
+    np.testing.assert_allclose(np.asarray(p1)[both], np.asarray(p0)[both],
+                               rtol=2e-5, atol=2e-5)

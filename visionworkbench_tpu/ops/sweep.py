@@ -77,6 +77,9 @@ def _split_dot(a_bf16, x, dims, precision: str):
         return lax.dot_general(a_bf16.astype(jnp.float32), x, dims,
                                precision=lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
+    if precision == "bf16":   # single-pass (ablation / quantized-exact inputs)
+        return lax.dot_general(a_bf16, x.astype(jnp.bfloat16), dims,
+                               preferred_element_type=jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     out = lax.dot_general(a_bf16, hi, dims,
@@ -90,6 +93,9 @@ def _split_dot_rhs(x, b_bf16, dims, precision: str):
     if precision == "highest":
         return lax.dot_general(x, b_bf16.astype(jnp.float32), dims,
                                precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    if precision == "bf16":
+        return lax.dot_general(x.astype(jnp.bfloat16), b_bf16, dims,
                                preferred_element_type=jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -189,10 +195,14 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
                         planes.append(d * d)
                 else:
                     planes.append(planes[-1])   # pad plane, never selected
-            chunk = jnp.stack(planes, 0)                 # (ex_pad, lh8, W)
-            # batched separable box sum: both stages one matmul per group
-            rs = _split_dot(b_row, chunk, (((1,), (1,)), ((), ())),
-                            precision)                   # (tile, ex_pad, W)
+            # Lane-pack the group's planes side by side: stage 1 becomes ONE
+            # clean (tile, lh8) x (lh8, ex_pad*W) 2D matmul instead of
+            # ex_pad small ones serialized through Mosaic (the round-1
+            # kernel's failure mode; measured ~10% MXU efficiency).
+            chunk2d = jnp.concatenate(planes, axis=1)    # (lh8, ex_pad*W)
+            rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
+                              precision)                 # (tile, ex_pad*W)
+            rs = rs2d.reshape(tile, ex_pad, w_all)
             cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
                                 precision)               # (tile, ex_pad, T)
             if want_patches:
@@ -299,6 +309,12 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[i32t, f32t, f32t] + ([f32t] * 9 if want_patches else []),
+        compiler_params=pltpu.CompilerParams(
+            # The resident volume + batched-matmul temporaries exceed the
+            # conservative 16 MB default scoped-vmem budget; the chip has
+            # plenty (measured: 21 MB at the flagship shape compiles fine
+            # with the cap raised).
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(offs_flat, bpad, mpad)
     argp, best, worst = outs[0], outs[1], outs[2]

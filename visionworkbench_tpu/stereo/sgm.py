@@ -2,29 +2,55 @@
 (ref ``SemiGlobalMatcher``, ``src/vw/Stereo/SGM.h:75-375``, ``SGM.cc``,
 ``SGMAssist.h:36-553``).
 
-Reference semantics preserved:
+Reference semantics preserved EXACTLY (pinned bit-for-bit against the
+executable transliteration in ``tests/oracle/vw_oracle_sgm.py``):
+
 * census / ternary-census hamming costs over the 2D (dx, dy) search volume
   with the reference's per-kernel default penalties (``SGM.cc:104-160``)
 * path update ``L(p,d) = C(p,d) + min(prior[d], min_nbhd(prior)+P1,
   min_prior+P2') - min_prior`` with the adaptive jump cost
-  ``P2' = max(P2/|dI|, P1)`` (``evaluate_path``, SGM.cc:806-850); the P1 band
-  is the 3x3 neighborhood in the (dx, dy) disparity grid
-* 8-path aggregation; subpixel modes none/parabola/linear/cosine/lc-blend
-  (``SgmSubpixelMode``)
+  ``P2' = max(P2 // |dI|, P1)`` — INTEGER division like the uint16
+  ``p2_mod /= path_intensity_gradient`` (``evaluate_path``, SGM.cc:806-850);
+  the P1 band is the 3x3 neighborhood in the (dx, dy) disparity grid
+* absent candidates (per-pixel disparity bounds / masked pixels) carry the
+  reference's BAD accumulation value ``255 + P2`` (``get_bad_accum_val``,
+  SGM.h:240) and are re-forced to it after every path step, exactly like the
+  reference's ``full_prior_buffer`` refill (SGM.cc:826-849); a path whose
+  prior is entirely BAD degrades to the local cost (first pixel of a line)
+* SGM: 8 directional line recurrences summed (``accum_sgm_multithread`` /
+  ``PixelPassTask``, SGM.cc:2462-2612, SGMAssist.h:691-832)
+* MGM: the 8 ``SmoothPathAccumTask`` directions (SGMAssist.h:835-1239),
+  each INTEGER-averaging two prior-neighbor evaluations that share one
+  pixel_diff whose sign convention follows the reference exactly (task_L
+  diffs against the RIGHT neighbor), with the reference's per-task guard
+  conditions (e.g. task_B resets the whole col==0 column to local cost)
+* WTA with the reference's multiple-minimum smoothing
+  (``select_best_disparity``, SGM.cc:1159-1284): up to 6 iterations of
+  3-tap box filters (horizontal, then vertical on the 6th) until the
+  minimum is unique; the smoothed values replace the accumulation volume
+  that subpixel interpolation then reads
+* subpixel modes none/parabola/linear/poly4/cosine/lc_blend
+  (``SgmSubpixelMode``, SGM.cc:1445-1614) with the reference's
+  bound-collapsed neighbor indices and two-value interpolation at bounds
 
 TPU formulation: the reference sweeps scanlines with SSE kernels across a
-thread pool (``SGM.cc:2462-2531``). Here the 8 directions run as FOUR
-``lax.scan``s (forward-x, reverse-x, forward-y, reverse-y), each carrying the
-full perpendicular image line x disparity plane with the image line on the
-minor (lane) axis — ``(B, sy, sx, L)`` — so the per-step VPU work is fully
-lane-occupied regardless of search-volume shape. The three dx=+1 paths
-(horizontal + both diagonals) batch into one scan: a diagonal is just a
-one-lane shift of the carry. The disparity-grid 3x3 neighborhood min is two
-separable shifted-min passes (exact 3x3 semantics even for 2-wide search
-axes). MGM's two-neighbor causal dependency is rotated into a pure column
-scan by shearing the image (x' = x + y makes both causal neighbors live in
-column x'-1); all four MGM orientations batch into one sheared scan via
-flipped copies.
+thread pool. Here the 8 SGM directions run as TWO bidirectional batched
+``lax.scan``s (the three dx=+1 paths — horizontal + both diagonals — batch
+into one scan: a diagonal is a one-lane shift of the carry), each carrying
+the full perpendicular image line x disparity plane with the image line on
+the minor (lane) axis — ``(B, sy, sx, L)``. MGM's eight tasks factor into
+2 sheared scans (x' = x + y turns the left+up recurrence of L/R — and of
+T/B on the transpose — into a pure column scan) plus 2 plain bidirectional
+scans (the diagonal-pair tasks TL/BR over rows and TR/BL over columns,
+whose two priors both live in the previous line). On TPU the scans run as
+Pallas hardware-loop kernels (``ops/sgm_scan.py``) with the carry in VMEM
+scratch; the lax.scan path is the CPU/fallback engine and the two are
+pinned bit-exact (tests/test_sgm.py).
+
+All arithmetic is integer-valued fp32 (costs, P1/P2, pixel diffs and the
+BAD value are integers < 2^24, where fp32 add/sub/compare are exact), so
+the float pipeline reproduces the reference's uint8/uint16 arithmetic
+bit-for-bit; the reference never overflows uint16 for census costs.
 """
 
 from __future__ import annotations
@@ -43,13 +69,12 @@ from visionworkbench_tpu.image.census import (
 )
 from visionworkbench_tpu.stereo.correlation import DisparityMap
 
-_BIG = jnp.float32(1e9)
+_INF = jnp.float32(3e38)
 
 # Scan-body unroll factor for the aggregation scans. Measured (512^2
 # pyramid SGM, queue-protocol digest sync, v5e): unroll=1 4.00 ms/frame,
 # unroll=8 5.72 — unrolling only bloats the step body here, so 1 is the
-# default. (Scan iteration count is NOT a relay cost: the relay's ~26 ms
-# roundtrip floor is fixed per readback, amortized by queueing frames.)
+# default.
 _SCAN_UNROLL = int(os.environ.get("VWTPU_SGM_UNROLL", "1"))
 
 # Default penalties by (cost, census kernel size) (ref SGM.cc:104-160).
@@ -63,6 +88,14 @@ _P2_TABLE = {("census", 3): 70, ("census", 5): 750, ("census", 7): 1500,
              ("ternary_census", 7): 2000, ("ternary_census", 9): 2000}
 
 SUBPIXEL_MODES = ("none", "parabola", "linear", "poly4", "cosine", "lc_blend")
+
+N_PATHS = 8  # both SGM and MGM accumulate 8 directional results
+
+
+def _bad_val(p2: float) -> float:
+    """``get_bad_accum_val`` = CostType max + P2 (ref SGM.h:240)."""
+    return 255.0 + float(p2)
+
 
 # Pseudoinverse of the 9-point quadratic design matrix (rows [x^2 y^2 xy x y 1]
 # at (x, y) in [-1,1]^2, x fastest) — ref ParabolaFit2d, SGMAssist.h:86-94.
@@ -97,44 +130,55 @@ def _census_cost_volume(left_u8, right_u8, sx: int, sy: int, window: int,
     return jnp.stack(vols, -2)  # (H, W, sy, sx)
 
 
-def _grid_min3(p):
+def _grid_min3(p, bad: float):
     """Exact 3x3 neighborhood min over the (sy, sx) disparity grid.
-    ``p`` is (..., sy, sx, L); out-of-grid neighbors count as +BIG.
-    Two separable shifted-min passes (VPU-friendly; no reduce_window)."""
+    ``p`` is (..., sy, sx, L); out-of-grid neighbors count as ``bad``
+    (>= any real prior, so — like the reference's clamped-repetition
+    adjacency table whose repeated center is dominated by the bare center
+    term — they never win). Two separable shifted-min passes."""
     sy, sx = p.shape[-3], p.shape[-2]
     q = p
     if sy > 1:
-        big = jnp.full_like(p[..., :1, :, :], _BIG)
+        big = jnp.full_like(p[..., :1, :, :], bad)
         q = jnp.minimum(q, jnp.concatenate([big, p[..., :-1, :, :]], -3))
         q = jnp.minimum(q, jnp.concatenate([p[..., 1:, :, :], big], -3))
     if sx > 1:
-        big = jnp.full_like(q[..., :, :1, :], _BIG)
+        big = jnp.full_like(q[..., :, :1, :], bad)
         r = jnp.minimum(q, jnp.concatenate([big, q[..., :, :-1, :]], -2))
         q = jnp.minimum(r, jnp.concatenate([q[..., :, 1:, :], big], -2))
     return q
 
 
-def _path_update(prior, cost, pdiff, p1: float, p2: float):
+def _path_update(prior, cost, pdiff, p1: float, p2: float, bad: float):
     """One SGM step for a batch of whole lines.
 
     ``prior``/``cost`` (B, sy, sx, L) with the image line on lanes (L);
     ``pdiff`` (B, L). Update: ``C + min(prior, nbhd3x3(prior)+P1,
-    min_prior+P2') - min_prior`` with ``P2' = max(P2/|dI|, P1)``
-    (ref ``evaluate_path``, SGM.cc:806-850)."""
+    min_prior+P2') - min_prior`` with ``P2' = max(P2 // max(|dI|, 1), P1)``
+    (INTEGER division — the reference's uint16 ``p2_mod /=``, ref
+    ``evaluate_path``, SGM.cc:806-850). An all-``bad`` prior (first pixel of
+    a line / fully-masked predecessor) degrades to the local cost exactly:
+    ``min(bad, bad+p1, bad+p2') - bad = 0``."""
     min_prior = jnp.min(prior, axis=(-3, -2))                    # (B, L)
-    p2m = jnp.maximum(p2 / jnp.maximum(pdiff, 1.0), p1)          # (B, L)
-    nb = _grid_min3(prior) + p1
+    p2m = jnp.maximum(jnp.floor(p2 / jnp.maximum(pdiff, 1.0)), p1)
+    nb = _grid_min3(prior, bad) + p1
     best = jnp.minimum(jnp.minimum(prior, nb),
                        (min_prior + p2m)[..., None, None, :])
-    valid = (min_prior < _BIG / 2)[..., None, None, :]
-    return cost + jnp.where(valid, best - min_prior[..., None, None, :], 0.0)
+    return cost + (best - min_prior[..., None, None, :])
 
 
-def _shift_lane(a, d: int):
-    """Shift along the minor (lane) axis: out[..., i] = a[..., i-d], BIG fill."""
+def _force_bad(out, cost, bad: float):
+    """Re-force absent candidates (cost == bad sentinel) to exactly ``bad``,
+    like the reference refills ``full_prior_buffer`` with BAD_VAL after
+    every ``evaluate_path`` (SGM.cc:920-931). Real costs are < 255 < bad."""
+    return jnp.where(cost >= bad, bad, out)
+
+
+def _shift_lane(a, d: int, bad: float):
+    """Shift along the minor (lane) axis: out[..., i] = a[..., i-d], bad fill."""
     if d == 0:
         return a
-    big = jnp.full_like(a[..., :1], _BIG)
+    big = jnp.full_like(a[..., :1], bad)
     if d > 0:
         return jnp.concatenate([big, a[..., :-1]], -1)
     return jnp.concatenate([a[..., 1:], big], -1)
@@ -154,7 +198,8 @@ def _shift_img(img, dy: int, dx: int):
     return out
 
 
-def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
+def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float,
+                bad: float):
     """Both scan directions in ONE ``lax.scan``: step t updates column t of
     the forward paths and column N-1-t of the reverse paths (independent
     recurrences, merged because the per-step tensors are small enough that
@@ -173,19 +218,21 @@ def _scan_bidir(cost_t, pdiffs_f, pdiffs_r, shifts, p1: float, p2: float):
 
     def step(carry, inp):
         cx, px = inp
-        prior = jnp.stack([_shift_lane(carry[:, i], s)
+        prior = jnp.stack([_shift_lane(carry[:, i], s, bad)
                            for i, s in enumerate(shifts)], 1)
-        out = _path_update(prior, cx[:, None], px, p1, p2)  # (2, B, sy, sx, L)
+        out = _path_update(prior, cx[:, None], px, p1, p2, bad)
+        out = _force_bad(out, cx[:, None], bad)     # (2, B, sy, sx, L)
         return out, jnp.sum(out, 1)
 
     # Derive init from the (possibly shard_map-varying) input so the scan
-    # carry's varying manual axes match the body output's.
-    init = jnp.broadcast_to(cost_t[0] * 0 + _BIG, (2, b, sy, sx, nl))
+    # carry's varying manual axes match the body output's. bad init = the
+    # reference's "first pixel takes the local cost".
+    init = jnp.broadcast_to(cost_t[0] * 0 + bad, (2, b, sy, sx, nl))
     _, ys = lax.scan(step, init, (xs_c, xs_p), unroll=_SCAN_UNROLL)
     return ys[:, 0] + jnp.flip(ys[:, 1], 0)                 # (N, sy, sx, L)
 
 
-# Hardware-loop Pallas kernel for the aggregation scans (carry in VMEM
+# Hardware-loop Pallas kernels for the aggregation scans (carry in VMEM
 # scratch; kills the ~2 us/step XLA while-loop + per-step DUS overhead that
 # dominates the SGM profile — docs/roofline.md). Bit-exact vs the lax.scan
 # path (tests/test_sgm.py); knob for A/B and CPU fallbacks.
@@ -202,16 +249,22 @@ def _pallas_target_platform() -> str:
     return jax.default_backend()
 
 
-def _scan_engine(cost_t, pf, pr, shifts, p1, p2):
-    if _SGM_PALLAS and _pallas_target_platform() == "tpu":
+def _use_pallas() -> bool:
+    return _SGM_PALLAS and _pallas_target_platform() == "tpu"
+
+
+def _scan_engine(cost_t, pf, pr, shifts, p1, p2, bad):
+    if _use_pallas():
         from visionworkbench_tpu.ops.sgm_scan import pallas_scan_bidir
-        return pallas_scan_bidir(cost_t, pf, pr, shifts, p1, p2)
-    return _scan_bidir(cost_t, pf, pr, shifts, p1, p2)
+        return pallas_scan_bidir(cost_t, pf, pr, shifts, p1, p2, bad)
+    return _scan_bidir(cost_t, pf, pr, shifts, p1, p2, bad)
 
 
-def _sgm_aggregate(cost, img, p1: float, p2: float):
-    """8-path SGM aggregation as two bidirectional batched scans.
-    cost (H, W, sy, sx)."""
+def _sgm_aggregate(cost, img, p1: float, p2: float, bad: float):
+    """8-path SGM aggregation as two bidirectional batched scans
+    (ref ``accum_sgm_multithread``, SGM.cc:2462-2612: per-direction line
+    recurrences, first pixel of each line = local cost, all eight sums
+    added). cost (H, W, sy, sx); img integer-valued (H, W)."""
     h, w, sy, sx = cost.shape
     cost_tx = jnp.transpose(cost, (1, 2, 3, 0))     # (W, sy, sx, H)
 
@@ -221,78 +274,189 @@ def _sgm_aggregate(cost, img, p1: float, p2: float):
                         for dy in (0, 1, -1)], 0)   # (3, H, W)
         return jnp.transpose(pd, (2, 0, 1))
 
-    acc_x = _scan_engine(cost_tx, pdx(1), pdx(-1), (0, 1, -1), p1, p2)
+    acc_x = _scan_engine(cost_tx, pdx(1), pdx(-1), (0, 1, -1), p1, p2, bad)
     del cost_tx
 
     cost_ty = jnp.transpose(cost, (0, 2, 3, 1))     # (H, sy, sx, W)
     pd_d = jnp.abs(img - _shift_img(img, 1, 0))[:, None, :]    # (H, 1, W)
     pd_u = jnp.abs(img - _shift_img(img, -1, 0))[:, None, :]
-    acc_y = _scan_engine(cost_ty, pd_d, pd_u, (0,), p1, p2)
+    acc_y = _scan_engine(cost_ty, pd_d, pd_u, (0,), p1, p2, bad)
     return (jnp.transpose(acc_x, (3, 0, 1, 2)) +
             jnp.transpose(acc_y, (0, 3, 1, 2)))     # (H, W, sy, sx)
 
 
-def _mgm_aggregate(cost, img, p1: float, p2: float):
-    """All four MGM orientations in one sheared scan (ref SGMAssist.h:930-947).
+# ---------------------------------------------------------------------------
+# MGM: the reference's eight SmoothPathAccumTask directions
+# (SGMAssist.h:835-1239). Each task averages TWO prior-neighbor
+# evaluations with INTEGER /2, both sharing ONE pixel_diff whose direction
+# follows the reference (get_path_pixel_diff at the task's dir: b =
+# img(col-dir_x, row-dir_y) — note task_L's dir is (-1,0), i.e. it diffs
+# against the RIGHT neighbor), under the reference's per-task guards.
+# Factorization into scans:
+#   L, R       — priors {left, up}/{right, down}: sheared column scan
+#                (x' = x + y puts both causal neighbors in column x'-1)
+#   T, B       — same machinery on the transposed volume
+#   TL, BR     — both priors in the previous ROW (cols -1/+1): row scan
+#   TR, BL     — both priors in the previous COLUMN (rows -1/+1): col scan
+# ---------------------------------------------------------------------------
 
-    Each MGM pass averages the two causal neighbors (left and up in scan
-    orientation). Shearing rows (x' = x + y) puts both neighbors in sheared
-    column x'-1, turning the 2D recurrence into a column scan; the four
-    orientations are flipped copies batched on a leading axis."""
-    h, w, sy, sx = cost.shape
+
+def _mgm_step_tensors(img, dir_xy, guard_expr, h, w):
+    """Per-task pixel-diff map |img(p) - img(p - dir)| and guard mask."""
+    pd = jnp.abs(img - _shift_img(img, dir_xy[1], dir_xy[0]))
+    r = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return pd, guard_expr(r, c, h - 1, w - 1)
+
+
+def _mgm_plain_scan(cost_t, pd_f, pd_r, g_f, g_r, p1, p2, bad):
+    """Bidirectional 'previous-line' MGM scan for the diagonal task pairs:
+    forward task priors = prev line at lanes ∓1; reverse task likewise.
+    ``cost_t`` (N, sy, sx, L); pd/g (N, L). Returns summed (N, sy, sx, L)."""
+    if _use_pallas():
+        from visionworkbench_tpu.ops.sgm_scan import pallas_mgm_bidir
+        return pallas_mgm_bidir(cost_t, pd_f, pd_r, g_f, g_r, (1, -1),
+                                p1, p2, bad)
+    n, sy, sx, nl = cost_t.shape
+    xs_c = jnp.stack([cost_t, jnp.flip(cost_t, 0)], 1)     # (N, 2, sy, sx, L)
+    xs_p = jnp.stack([pd_f, jnp.flip(pd_r, 0)], 1)         # (N, 2, L)
+    xs_g = jnp.stack([g_f, jnp.flip(g_r, 0)], 1)           # (N, 2, L)
+
+    def step(carry, inp):
+        cx, px, gx = inp
+        a = _path_update(_shift_lane(carry, 1, bad), cx, px, p1, p2, bad)
+        b = _path_update(_shift_lane(carry, -1, bad), cx, px, p1, p2, bad)
+        out = jnp.floor((a + b) * 0.5)                     # uint16 (a+b)/2
+        out = jnp.where(gx[:, None, None, :], out, cx)
+        out = _force_bad(out, cx, bad)
+        return out, out
+
+    init = jnp.broadcast_to(cost_t[0] * 0 + bad, (2, sy, sx, nl))
+    _, ys = lax.scan(step, init, (xs_c, xs_p, xs_g), unroll=_SCAN_UNROLL)
+    return ys[:, 0] + jnp.flip(ys[:, 1], 0)
+
+
+def _mgm_sheared_scan(cb, pdb, gb, p1, p2, bad):
+    """Sheared left+up MGM scan for a batch of B pre-flipped orientations.
+    ``cb`` (B, H, W, sy, sx); ``pdb``/``gb`` (B, H, W). Each orientation's
+    recurrence is out(y, x) <- avg(eval(out(y, x-1)), eval(out(y-1, x)));
+    shearing rows (x' = x + y) puts both causal neighbors in sheared column
+    x'-1, giving a pure column scan. Returns (B, H, W, sy, sx)."""
+    b, h, w, sy, sx = cb.shape
     ww = w + h
-    cb = jnp.stack([cost, jnp.flip(cost, 1), jnp.flip(cost, 0),
-                    jnp.flip(jnp.flip(cost, 0), 1)], 0)   # (4, H, W, sy, sx)
-    ib = jnp.stack([img, jnp.flip(img, 1), jnp.flip(img, 0),
-                    jnp.flip(jnp.flip(img, 0), 1)], 0)    # (4, H, W)
-
-    # Shear via gather: sheared[b, y, x'] = src[b, y, x'-y].
     src_x = (jnp.arange(ww)[None, :] - jnp.arange(h)[:, None])   # (H, WW)
     inside = (src_x >= 0) & (src_x < w)
     xc = jnp.clip(src_x, 0, w - 1)
     cs = jnp.take_along_axis(cb, xc[None, :, :, None, None], axis=2)
-    imgs = jnp.take_along_axis(ib, xc[None, :, :], axis=2)       # (4, H, WW)
+    pds = jnp.take_along_axis(pdb, xc[None, :, :], axis=2)       # (B, H, WW)
+    gs = jnp.take_along_axis(gb, xc[None, :, :], axis=2) \
+        & inside[None, :, :]
 
-    prev_left = jnp.pad(imgs, ((0, 0), (0, 0), (1, 0)), mode="edge")[..., :-1]
-    prev_up = jnp.pad(prev_left, ((0, 0), (1, 0), (0, 0)), mode="edge")[:, :-1]
-    pd_left = jnp.abs(imgs - prev_left)
-    pd_up = jnp.abs(imgs - prev_up)
+    cT = jnp.transpose(cs, (2, 0, 3, 4, 1))       # (WW, B, sy, sx, H)
+    pT = jnp.transpose(pds, (2, 0, 1))            # (WW, B, H)
+    gT = jnp.transpose(gs, (2, 0, 1))             # (WW, B, H)
 
-    cT = jnp.transpose(cs, (2, 0, 3, 4, 1))       # (WW, 4, sy, sx, H)
-    plT = jnp.transpose(pd_left, (2, 0, 1))       # (WW, 4, H)
-    puT = jnp.transpose(pd_up, (2, 0, 1))
-    inT = jnp.transpose(inside, (1, 0))           # (WW, H)
+    if _use_pallas():
+        from visionworkbench_tpu.ops.sgm_scan import pallas_mgm_fwd
+        ys = pallas_mgm_fwd(cT, pT, gT, (0, 1), p1, p2, bad)
+    else:
+        def step(carry, inp):
+            cx, px, gx = inp
+            a = _path_update(carry, cx, px, p1, p2, bad)
+            bb = _path_update(_shift_lane(carry, 1, bad), cx, px, p1, p2,
+                              bad)
+            out = jnp.floor((a + bb) * 0.5)
+            out = jnp.where(gx[:, None, None, :], out, cx)
+            out = _force_bad(out, cx, bad)
+            return out, out
 
-    def step(carry, inp):
-        cx, pl, pu, ins = inp
-        up_prior = _shift_lane(carry, 1)
-        a = _path_update(carry, cx, pl, p1, p2)
-        b = _path_update(up_prior, cx, pu, p1, p2)
-        both = 0.5 * (a + b)
-        # If only one neighbor is inside the image, its term stands alone;
-        # path_update already degrades to local cost when the prior is BIG.
-        out = jnp.where(ins[None, None, None, :], both, cx)
-        return out, out
+        init = jnp.broadcast_to(cT[0] * 0 + bad, (b, sy, sx, h))
+        _, ys = lax.scan(step, init, (cT, pT, gT), unroll=_SCAN_UNROLL)
 
-    init = jnp.broadcast_to(cT[0] * 0 + _BIG, (4, sy, sx, h))
-    _, ys = lax.scan(step, init, (cT, plT, puT, inT), unroll=_SCAN_UNROLL)
-    out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (4, H, WW, sy, sx)
-    # Un-shear: out[b, y, x] = out_s[b, y, x+y].
+    out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (B, H, WW, sy, sx)
     dst_x = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
-    out = jnp.take_along_axis(out_s, dst_x[None, :, :, None, None], axis=2)
-    return (out[0] + jnp.flip(out[1], 1) + jnp.flip(out[2], 0) +
-            jnp.flip(jnp.flip(out[3], 0), 1))
+    return jnp.take_along_axis(out_s, dst_x[None, :, :, None, None], axis=2)
+
+
+def _mgm_aggregate(cost, img, p1: float, p2: float, bad: float):
+    """All eight MGM direction tasks (ref accum_mgm_multithread,
+    SGM.cc:2619-2700 + SGMAssist.h:911-1237), summed."""
+    h, w, sy, sx = cost.shape
+    total = jnp.zeros_like(cost)
+
+    # --- sheared group: the four edge tasks L, T, B, R --------------------
+    # Each is the left+up recurrence under one of the four axis-flip
+    # combinations (e.g. B's deps (row+1, col) & (row, col-1) are up+left
+    # after flipping rows), so all four batch into ONE sheared scan.
+    #   orientation: (flip_rows, flip_cols), pd dir, guard
+    edge_tasks = [
+        ((False, False), (-1, 0),
+         lambda r, c, lr, lc: (r > 0) & (c > 0)),          # L
+        ((False, True), (0, -1),
+         lambda r, c, lr, lc: (r > 0) & (c < lc)),         # T
+        ((True, False), (0, 1),
+         lambda r, c, lr, lc: (r < lr) & (c > 0)),         # B
+        ((True, True), (1, 0),
+         lambda r, c, lr, lc: (r < lr) & (c < lc)),        # R
+    ]
+
+    def apply_flips(a, fl):
+        if fl[0]:
+            a = jnp.flip(a, 0)
+        if fl[1]:
+            a = jnp.flip(a, 1)
+        return a
+
+    cbs, pdbs, gbs = [], [], []
+    for fl, d, guard in edge_tasks:
+        pd, g = _mgm_step_tensors(img, d, guard, h, w)
+        cbs.append(apply_flips(cost, fl))
+        pdbs.append(apply_flips(pd, fl))
+        gbs.append(apply_flips(g, fl))
+    out = _mgm_sheared_scan(jnp.stack(cbs, 0), jnp.stack(pdbs, 0),
+                            jnp.stack(gbs, 0), p1, p2, bad)
+    for o, (fl, _, _) in enumerate(edge_tasks):
+        total = total + apply_flips(out[o], fl)
+
+    # --- plain group 1: TL (rows forward) and BR (rows reverse) -----------
+    pd_tl, g_tl = _mgm_step_tensors(
+        img, (-1, -1), lambda r, c, lr, lc: (r > 0) & (c > 0) & (c < lc),
+        h, w)
+    pd_br, g_br = _mgm_step_tensors(
+        img, (1, 1), lambda r, c, lr, lc: (r < lr) & (c > 0) & (c < lc),
+        h, w)
+    cost_ty = jnp.transpose(cost, (0, 2, 3, 1))   # (H, sy, sx, W)
+    out = _mgm_plain_scan(cost_ty, pd_tl, pd_br, g_tl, g_br, p1, p2, bad)
+    total = total + jnp.transpose(out, (0, 3, 1, 2))
+
+    # --- plain group 2: BL (cols forward) and TR (cols reverse) -----------
+    pd_bl, g_bl = _mgm_step_tensors(
+        img, (-1, 1), lambda r, c, lr, lc: (r > 0) & (r < lr) & (c > 0),
+        h, w)
+    pd_tr, g_tr = _mgm_step_tensors(
+        img, (1, -1), lambda r, c, lr, lc: (r > 0) & (r < lr) & (c < lc),
+        h, w)
+    cost_tx = jnp.transpose(cost, (1, 2, 3, 0))   # (W, sy, sx, H)
+    out = _mgm_plain_scan(cost_tx, pd_bl.T, pd_tr.T, g_bl.T, g_tr.T,
+                          p1, p2, bad)
+    total = total + jnp.transpose(out, (3, 0, 1, 2))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# WTA + subpixel (ref create_disparity_view / _subpixel, SGM.cc:1159-1614)
+# ---------------------------------------------------------------------------
 
 
 def _subpixel_1d(sm1, s0, sp1, mode: str, left_bound, right_bound):
-    """1D subpixel offset from three accumulated costs, the reference's exact
-    ratio framework (``compute_subpixel_offset``, SGM.cc:1445-1479): with
-    ``ld = prev-center`` and ``rd = next-center``, fit the ratio
-    ``x = smaller/larger`` and return ``(fit(x) - 0.5) * direction``. Fits
-    (SGM.cc:1411-1437): linear ``x/2``, poly4 ``(x^4+x)/4``, cosine
-    ``1-cos(x*pi/3)``, lc_blend factor-blended cosine/linear. At search-range
-    bounds the two-value interpolation applies (``two_value_subpixel``,
-    SGM.cc:1440-1443). Center is the volume argmin, so ld, rd >= 0."""
+    """1D subpixel offset from three accumulated costs — the reference's
+    exact logic and ORDER (``compute_subpixel_offset``, SGM.cc:1445-1479):
+    inputs must already be bound-collapsed (prev=center at a left bound,
+    like the reference's x_left=0 indices); the all-equal zero case takes
+    precedence over the two-value bound interpolation
+    (``two_value_subpixel``, SGM.cc:1440-1443). Fits (SGM.cc:1411-1437):
+    linear ``x/2``, poly4 ``(x^4+x)/4``, cosine ``1-cos(x*pi/3)``, lc_blend
+    factor-blended cosine/linear."""
     ld = sm1 - s0
     rd = sp1 - s0
     both_zero = (ld == 0) & (rd == 0)
@@ -314,11 +478,12 @@ def _subpixel_1d(sm1, s0, sp1, mode: str, left_bound, right_bound):
         value = cosv * factor + linear * (1.0 - factor)
     else:
         raise ArgumentErr(f"_subpixel_1d: unknown 1D mode {mode!r}")
-    off = (value - 0.5) * mult
-    # Range-bound pixels: interpolate toward the interior from two values.
-    off = jnp.where(left_bound, 0.5 * s0 / jnp.maximum(sp1, 1e-9), off)
-    off = jnp.where(right_bound, -0.5 * s0 / jnp.maximum(sm1, 1e-9), off)
-    return jnp.where(both_zero | (left_bound & right_bound), 0.0, off)
+    ratio_off = (value - 0.5) * mult
+    two_left = 0.5 * s0 / jnp.where(sp1 == 0, 1.0, sp1)
+    two_right = -0.5 * s0 / jnp.where(sm1 == 0, 1.0, sm1)
+    off = jnp.where(left_bound, two_left,
+                    jnp.where(right_bound, two_right, ratio_off))
+    return jnp.where(both_zero, 0.0, off)
 
 
 def _parabola_2d(z, dx, dy, sx: int, sy: int):
@@ -343,20 +508,91 @@ def _parabola_2d(z, dx, dy, sx: int, sy: int):
     return ox, oy
 
 
-def _volume_argmin_subpixel(acc, subpixel: str):
-    """WTA argmin over the aggregated volume (H, W, sy, sx) + subpixel
-    (ref ``create_disparity_view_subpixel``, SGM.cc:1498-1605): 2D 9-point
-    parabola fit for ``parabola``, per-axis ratio interpolation with
-    two-value bound handling for the 1D modes.
+def _masked_mean3(v, allowed_f, axis: int):
+    """One ``select_best_disparity`` smoothing iteration (SGM.cc:1223-1268):
+    3-tap box mean along ``axis`` of the (H, W, sy, sx) volume with
+    out-of-rectangle taps dropped (the per-pixel bounds rectangle =
+    ``allowed``; at its edges the reference drops the out-of-range tap),
+    rounded half-away-from-zero (C ``round``; values are non-negative
+    integers < 2^24 so fp32 floor(x + 0.5) is exact)."""
+    def sh(x, d):
+        z = jnp.zeros_like(jnp.take(x, jnp.array([0]), axis=axis))
+        n = x.shape[axis]
+        if d > 0:
+            body = lax.slice_in_dim(x, 0, n - d, axis=axis)
+            return jnp.concatenate([z, body], axis=axis)
+        body = lax.slice_in_dim(x, -d, n, axis=axis)
+        return jnp.concatenate([body, z], axis=axis)
 
-    Bound flags come from the volume edge OR a masked (>= BIG/2) neighbor —
-    the latter reproduces the reference's per-pixel disparity-range bounds
-    (``m_disp_bound_image``): candidates outside a pixel's allowed window
-    carry BIG costs, so their neighbors interpolate as range-bounded, exactly
+    va = v * allowed_f
+    s = va + sh(va, 1) + sh(va, -1)
+    cnt = allowed_f + sh(allowed_f, 1) + sh(allowed_f, -1)
+    mean = s / jnp.maximum(cnt, 1.0)
+    out = jnp.floor(mean + 0.5)
+    return jnp.where(allowed_f > 0, out, v)
+
+
+def _tie_smooth_select(acc, allowed):
+    """``select_best_disparity`` (SGM.cc:1159-1284): when a pixel's minimum
+    accumulated cost is not unique, smooth its bounds rectangle with 3-tap
+    box filters (5 horizontal iterations, then 1 vertical) until the
+    minimum is unique or 6 iterations pass; the smoothed values REPLACE the
+    accumulation volume (the subpixel step reads them, SGM.cc:1559).
+
+    ``acc`` (H, W, sy, sx) integer-valued; ``allowed`` same-shape bool.
+    Returns (selected volume, argmin flat index (H, W) int32). The whole
+    smoothing cascade runs under a ``lax.cond`` on "any pixel tied" — on
+    textured imagery it never executes."""
+    h, w, sy, sx = acc.shape
+    af = allowed.astype(acc.dtype)
+
+    def stats(v):
+        vm = jnp.where(allowed, v, _INF).reshape(h, w, sy * sx)
+        mn = jnp.min(vm, -1)
+        cnt = jnp.sum((vm == mn[..., None]).astype(jnp.int32), -1)
+        arg = jnp.argmin(vm, -1).astype(jnp.int32)
+        return mn, cnt, arg
+
+    _, cnt0, arg0 = stats(acc)
+
+    def no_ties(_):
+        return acc, arg0
+
+    def smooth(_):
+        sel, argsel = acc, arg0
+        done = cnt0 <= 1
+        v = acc
+        for k in range(1, 7):
+            v = _masked_mean3(v, af, axis=3 if k <= 5 else 2)
+            _, cnt_k, arg_k = stats(v)
+            upd = ~done
+            sel = jnp.where(upd[..., None, None], v, sel)
+            argsel = jnp.where(upd, arg_k, argsel)
+            done = done | (cnt_k <= 1)
+        return sel, argsel
+
+    return lax.cond(jnp.any(cnt0 > 1), smooth, no_ties, None)
+
+
+def _volume_argmin_subpixel(acc, subpixel: str, bad: float):
+    """WTA argmin over the aggregated volume (H, W, sy, sx) + subpixel
+    (ref ``create_disparity_view`` + ``create_disparity_view_subpixel``,
+    SGM.cc:1286-1614): tie-smoothed first-minimum WTA, then the 2D 9-point
+    parabola fit or the per-axis ratio interpolation with two-value bound
+    handling, reading the (possibly smoothed) accumulation volume with
+    bound-collapsed neighbor indices.
+
+    Bound flags come from the volume edge OR an absent (== N_PATHS*bad)
+    neighbor — absent candidates reproduce the reference's per-pixel
+    disparity-range bounds (``m_disp_bound_image``): each of the 8 path
+    results forces absent candidates to ``bad``, so their sums are exactly
+    ``8*bad`` and their neighbors interpolate as range-bounded, exactly
     like the reference's x_left=0 / two-value path at bounds."""
     h, w, sy, sx = acc.shape
+    bad_total = N_PATHS * bad
+    allowed = acc < bad_total - 0.5
+    acc, best = _tie_smooth_select(acc, allowed)
     flat = acc.reshape(h, w, sy * sx)
-    best = jnp.argmin(flat, axis=-1).astype(jnp.int32)
     dx = best % sx
     dy = best // sx
     disp = jnp.stack([dx, dy], -1)
@@ -385,39 +621,41 @@ def _volume_argmin_subpixel(acc, subpixel: str):
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         z = [padded[yy, xx, dy + jy, dx + jx]
              for jy in range(3) for jx in range(3)]
-    masked = [v >= _BIG / 2 for v in z]
-    left_b = (dx == 0) | masked[3]
-    right_b = (dx == sx - 1) | masked[5]
-    top_b = (dy == 0) | masked[1]
-    bot_b = (dy == sy - 1) | masked[7]
+    absent = [v >= bad_total - 0.5 for v in z]
+    left_b = (dx == 0) | absent[3]
+    right_b = (dx == sx - 1) | absent[5]
+    top_b = (dy == 0) | absent[1]
+    bot_b = (dy == sy - 1) | absent[7]
+    # Reference: at bounds the neighbor index collapses onto the center
+    # (x_left = 0 etc., SGM.cc:1545-1557) for BOTH the parabola and the 1D
+    # modes before any fit.
+    zz = list(z)
+    for k in (0, 3, 6):
+        zz[k] = jnp.where(left_b, zz[k + 1], zz[k])
+    for k in (2, 5, 8):
+        zz[k] = jnp.where(right_b, zz[k - 1], zz[k])
+    for k in (0, 1, 2):
+        zz[k] = jnp.where(top_b, zz[k + 3], zz[k])
+    for k in (6, 7, 8):
+        zz[k] = jnp.where(bot_b, zz[k - 3], zz[k])
     if subpixel == "parabola":
-        # Reference: at bounds the neighbor index collapses onto the center
-        # (x_left = 0 etc., SGM.cc:1545-1557) before the 2D fit.
-        zz = list(z)
-        for k in (0, 3, 6):
-            zz[k] = jnp.where(left_b, zz[k + 1], zz[k])
-        for k in (2, 5, 8):
-            zz[k] = jnp.where(right_b, zz[k - 1], zz[k])
-        for k in (0, 1, 2):
-            zz[k] = jnp.where(top_b, zz[k + 3], zz[k])
-        for k in (6, 7, 8):
-            zz[k] = jnp.where(bot_b, zz[k - 3], zz[k])
         off_x, off_y = _parabola_2d(jnp.stack(zz, -1), dx, dy, sx, sy)
     else:
-        off_x = _subpixel_1d(z[3], z[4], z[5], subpixel, left_b, right_b)
-        off_y = _subpixel_1d(z[1], z[4], z[7], subpixel, top_b, bot_b)
+        off_x = _subpixel_1d(zz[3], zz[4], zz[5], subpixel, left_b, right_b)
+        off_y = _subpixel_1d(zz[1], zz[4], zz[7], subpixel, top_b, bot_b)
     return disp.astype(jnp.float32) + jnp.stack([off_x, off_y], -1), flat
 
 
 def _apply_pixel_bounds(cost, base, seed_disp, seed_valid, buffer: int,
-                        range_x: int, range_y: int):
+                        range_x: int, range_y: int, bad: float):
     """Per-pixel disparity bounds (ref ``m_disp_bound_image``, SGM.h:180-198,
     seeded by ``populate_disp_bound_image``, SGM.cc:241-470): pixels with a
     trusted previous-level seed restrict their candidates to
-    ``seed ± buffer`` — BIG cost outside the window, exactly the effect of
-    the reference's compact per-pixel cost buffers (absent candidates are
-    +inf to every path update). Untrusted pixels (invalid seed, or a seed on
-    the edge of a wide search range, SGM.cc:372-384) keep the full window.
+    ``seed ± buffer`` — candidates outside the window get the reference's
+    BAD accumulation sentinel (``255 + P2``), exactly the effect of the
+    compact per-pixel cost buffers (absent candidates read as BAD_VAL in
+    every path update). Untrusted pixels (invalid seed, or a seed on the
+    edge of a wide search range, SGM.cc:372-384) keep the full window.
 
     ``cost`` (H, W, ry, rx) relative volume; ``base`` (H, W, 2) absolute
     offset of each pixel's window. The seed window is CLAMPED into the
@@ -446,7 +684,14 @@ def _apply_pixel_bounds(cost, base, seed_disp, seed_valid, buffer: int,
     ok_y = (ay >= lo_y[..., None]) & (ay <= hi_y[..., None])
     allowed = ok_y[..., :, None] & ok_x[..., None, :]
     allowed = allowed | ~trusted[..., None, None]
-    return jnp.where(allowed, cost, _BIG)
+    return jnp.where(allowed, cost, bad)
+
+
+def _mask_cost_volume(cost, lmask, bad: float):
+    """Masked left pixels get ZERO_SEARCH_AREA (every candidate absent)."""
+    if lmask is None:
+        return cost
+    return jnp.where(lmask.astype(bool)[..., None, None], cost, bad)
 
 
 @functools.partial(jax.jit, static_argnames=("sx", "sy", "window", "ternary",
@@ -457,19 +702,23 @@ def _sgm_core(left_u8, right_u8, sx: int, sy: int, window: int, ternary: bool,
               seed_disp=None, seed_valid=None, search_buffer: int = 2,
               lmask=None):
     h, w = left_u8.shape
-    cost = _census_cost_volume(left_u8, right_u8, sx, sy, window, ternary, thresh)
+    bad = _bad_val(p2)
+    cost = _census_cost_volume(left_u8, right_u8, sx, sy, window, ternary,
+                               thresh)
     valid = jnp.ones((h, w), bool)
     if seed_disp is not None:
         base = jnp.zeros((h, w, 2), jnp.int32)
         cost = cost.reshape(h, w, sy, sx)
         cost = _apply_pixel_bounds(cost, base, seed_disp, seed_valid,
-                                   search_buffer, sx, sy)
+                                   search_buffer, sx, sy, bad)
+    if lmask is not None:
+        cost = _mask_cost_volume(cost, lmask, bad)
     img = left_u8.astype(jnp.float32)
     if use_mgm:
-        acc = _mgm_aggregate(cost, img, p1, p2)
+        acc = _mgm_aggregate(cost, img, p1, p2, bad)
     else:
-        acc = _sgm_aggregate(cost, img, p1, p2)
-    fdisp, flat = _volume_argmin_subpixel(acc, subpixel)
+        acc = _sgm_aggregate(cost, img, p1, p2, bad)
+    fdisp, flat = _volume_argmin_subpixel(acc, subpixel, bad)
     if lmask is not None:
         valid = valid & lmask.astype(bool)
     fdisp = jnp.where(valid[..., None], fdisp, 0.0)
@@ -505,7 +754,7 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
 
     ``seed_disp``/``seed_valid`` ((H, W, 2) / (H, W)): PER-PIXEL previous-
     level disparity seeds (upsampled). When given, each pixel's candidates
-    are restricted to ``seed ± search_buffer`` via BIG-cost masking of the
+    are restricted to ``seed ± search_buffer`` via BAD-cost masking of the
     volume (ref ``m_disp_bound_image``, SGM.h:180-198; edge-of-range seeds
     untrusted per SGM.cc:372-384 when the level range ``range_x``/``range_y``
     is >= 10; the window clamps into the tile window like the reference
@@ -516,6 +765,7 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
     nty, ntx = offsets.shape[0], offsets.shape[1]
     out_h, out_w = nty * tile, ntx * tile
     cw2 = window // 2
+    bad = _bad_val(p2)
     # One shared monotone quantization: census codes are invariant to it, but
     # L and R must agree, and pdiff (P2 adaptation) uses the same scale.
     lo = jnp.minimum(jnp.min(lbase), jnp.min(mbase))
@@ -562,12 +812,14 @@ def sgm_relative_search(lbase, mbase, offsets, tile: int, rx: int, ry: int,
     valid = jnp.ones((out_h, out_w), bool)
     if seed_disp is not None:
         cost = _apply_pixel_bounds(cost, base, seed_disp, seed_valid,
-                                   search_buffer, range_x, range_y)
+                                   search_buffer, range_x, range_y, bad)
+    if lmask is not None:
+        cost = _mask_cost_volume(cost, lmask, bad)
     if use_mgm:
-        acc = _mgm_aggregate(cost, img, p1, p2)
+        acc = _mgm_aggregate(cost, img, p1, p2, bad)
     else:
-        acc = _sgm_aggregate(cost, img, p1, p2)
-    rel, _ = _volume_argmin_subpixel(acc, subpixel)
+        acc = _sgm_aggregate(cost, img, p1, p2, bad)
+    rel, _ = _volume_argmin_subpixel(acc, subpixel, bad)
     if lmask is not None:
         valid = valid & lmask.astype(bool)
     disp = rel + base.astype(jnp.float32)
@@ -683,3 +935,57 @@ def calc_disparity_sgm(left, right, search_volume, kernel_size: int = 5,
 
     disp = jnp.where(valid[..., None], disp, 0.0)
     return DisparityMap(disp, valid)
+
+
+def sgm_reference_region(left_u8, right_u8, search_volume, kernel_size: int = 5,
+                         cost_type: str = "census", use_mgm: bool = False,
+                         subpixel: str = "lc_blend",
+                         p1: Optional[float] = None,
+                         p2: Optional[float] = None,
+                         ternary_census_threshold: int = 5,
+                         allowed=None):
+    """Reference-domain SGM/MGM entry (ref ``semi_global_matching_func``,
+    SGM.cc:2387-2448): census over the FULL u8 frames, cost volume +
+    aggregation over exactly the kernel+search-supported output region
+    ``[hk, H-1-hk] x [hk, ...]`` whose paths start at the region border —
+    the domain convention the reference uses, pinned bit-exact against
+    ``tests/oracle/vw_oracle_sgm.py``. ``calc_disparity_sgm`` keeps this
+    package's full-frame convention instead.
+
+    ``search_volume`` is max-EXCLUSIVE like the rest of this package
+    (disparities in [0, sx) x [0, sy)). ``allowed``: optional per-pixel
+    candidate mask (rows, cols, sy, sx) — the reference's
+    ``m_disp_bound_image``. Returns (DisparityMap over the region,
+    (min_row, min_col) region offset into the left frame)."""
+    sx, sy = int(search_volume[0]), int(search_volume[1])
+    window = int(kernel_size)
+    ternary = cost_type == "ternary_census"
+    key = (cost_type, window)
+    p1v = float(p1 if p1 is not None else _P1_TABLE.get(key, 3))
+    p2v = float(p2 if p2 is not None else _P2_TABLE.get(key, 70))
+    hk = window // 2
+    lq = jnp.asarray(left_u8, jnp.int32)
+    rq = jnp.asarray(right_u8, jnp.int32)
+    h, w = lq.shape
+    min_row = min_col = hk
+    max_row = min(h - 1 - hk, rq.shape[0] - 1 - hk - (sy - 1))
+    max_col = min(w - 1 - hk, rq.shape[1] - 1 - hk - (sx - 1))
+    bad = _bad_val(p2v)
+    vol = _census_cost_volume(lq, rq, sx, sy, window, ternary,
+                              int(ternary_census_threshold))
+    vol = vol[min_row:max_row + 1, min_col:max_col + 1]
+    if allowed is not None:
+        vol = jnp.where(jnp.asarray(allowed, bool), vol, bad)
+    img = lq[min_row:max_row + 1, min_col:max_col + 1].astype(jnp.float32)
+    if use_mgm:
+        acc = _mgm_aggregate(vol, img, p1v, p2v, bad)
+    else:
+        acc = _sgm_aggregate(vol, img, p1v, p2v, bad)
+    fdisp, _ = _volume_argmin_subpixel(acc, subpixel, bad)
+    if allowed is not None:
+        valid = jnp.asarray(allowed, bool).reshape(
+            fdisp.shape[0], fdisp.shape[1], -1).any(-1)
+    else:
+        valid = jnp.ones(fdisp.shape[:2], bool)
+    fdisp = jnp.where(valid[..., None], fdisp, 0.0)
+    return DisparityMap(fdisp, valid), (min_row, min_col)

@@ -538,22 +538,116 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
     return jnp.where(out_valid[..., None], out, 0.0), out_valid
 
 
+def _decimate2(img):
+    """Plain subsample-by-2 (ref ``subsample(x, 2)``, SubpixelView.cc:110-124
+    — the reference deliberately skips the blur: "deemed not worth the
+    computation time"). Strided slices lower to gathers on this TPU
+    toolchain, so the decimation runs as two banded selection matmuls."""
+    from visionworkbench_tpu.stereo.pyramid_correlation import _decimate_bands
+    h, w = img.shape
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    dr = _decimate_bands(h2, h, (1.0,))
+    dc = _decimate_bands(w2, w, (1.0,))
+    out = jnp.einsum("oh,hw->ow", dr, img, precision=lax.Precision.HIGHEST)
+    return jnp.einsum("ow,pw->op", out, dc, precision=lax.Precision.HIGHEST)
+
+
 def bayes_em_subpixel(disparity: DisparityMap, left, right, kernel_size,
                       em_iters: int = 2, outer_iters: int = 10,
                       prefilter_mode: str = PREFILTER_NONE,
-                      prefilter_width: float = 1.4) -> DisparityMap:
-    """Bayes-EM affine subpixel refinement (ref ``bayes_em_subpixel``,
-    SubpixelView.h:128-146 / ``subpixel_optimized_affine_2d_EM``,
+                      prefilter_width: float = 1.4,
+                      max_pyramid_levels: int = 2,
+                      fine_outer_iters: int = 0) -> DisparityMap:
+    """Bayes-EM affine subpixel refinement over its own image pyramid
+    (ref ``PyramidSubpixelView`` SUBPIXEL_BAYES_EM, SubpixelView.h:36-146 +
+    SubpixelView.cc:33-210 / ``subpixel_optimized_affine_2d_EM``,
     Correlate.cc:500-845): a Gaussian "plane" inlier model + uniform-noise
-    outlier model EM-weighted affine window fit. The reference's quality
-    mode. ``em_iters=0`` degrades to the plain weighted affine GN
-    (``subpixel_optimized_affine_2d``)."""
+    outlier model EM-weighted affine window fit, refined coarse-to-fine.
+    The reference's quality mode. ``em_iters=0`` degrades to the plain
+    weighted affine GN (``subpixel_optimized_affine_2d`` /
+    SUBPIXEL_FAST_AFFINE).
+
+    Pyramid flow mirrors the reference: plain subsample-by-2 patches (no
+    blur, SubpixelView.cc:104-108), ``disparity_subsample`` seeds
+    (validity-weighted average, values halved), per-level refinement with
+    the SAME kernel size, ``disparity_upsample`` between levels, final pass
+    at native resolution. ``max_pyramid_levels=0`` is the round-2 behavior
+    (single full-resolution solve).
+
+    ``fine_outer_iters``: Gauss-Newton outer iterations at the FINEST level
+    (0 = same as ``outer_iters``). With a pyramid seed the full-resolution
+    pass starts sub-pixel-close, so production configs run the full
+    ``outer_iters`` only on the coarse (4x-16x smaller) levels and 2-3
+    finishing iterations at full res — the rising-residual early-stop makes
+    extra full-res iterations nearly pure waste (measured: identical
+    sinusoid accuracy, ~3x throughput; tools_bench_configs config 7)."""
     left = prefilter_image(jnp.asarray(left, jnp.float32), prefilter_mode,
                            prefilter_width)
     right = prefilter_image(jnp.asarray(right, jnp.float32), prefilter_mode,
                             prefilter_width)
     kw, kh = int(kernel_size[0]), int(kernel_size[1])
-    d, valid = _em_affine_dense(disparity.disparity, disparity.valid,
-                                left, right, kw, kh, int(em_iters),
-                                int(outer_iters))
+    levels = max(int(max_pyramid_levels), 0)
+    # Coarse levels only help when they still hold far more than a kernel's
+    # worth of structure; the reference's blur-free subsample aliases tiny /
+    # high-frequency patches into useless seeds. (The reference runs on
+    # >=1024-px tiles where this never bites.)
+    h0, w0 = left.shape[0], left.shape[1]
+    min_dim = max(64, 8 * max(kw, kh))
+    while levels > 0 and min(h0 >> levels, w0 >> levels) < min_dim:
+        levels -= 1
+    fine_iters = int(fine_outer_iters) if fine_outer_iters else int(outer_iters)
+    if levels == 0:
+        fine_iters = int(outer_iters)   # no seed to lean on
+
+    from visionworkbench_tpu.stereo.disparity import (
+        disparity_subsample, disparity_upsample,
+    )
+    lp, rp = [left], [right]
+    dms = [disparity]
+    for i in range(levels):
+        lp.append(_decimate2(lp[-1]))
+        rp.append(_decimate2(rp[-1]))
+        dms.append(disparity_subsample(dms[-1]))
+
+    def _boxmean(a, wf, rad):
+        """Valid-weighted separable box mean of a (H, W, 2) field."""
+        num, den = a * wf[..., None], wf
+        for ax in (0, 1):
+            n2, d2 = num, den
+            for k in range(1, rad + 1):
+                n2 = n2 + jnp.roll(num, k, ax) + jnp.roll(num, -k, ax)
+                d2 = d2 + jnp.roll(den, k, ax) + jnp.roll(den, -k, ax)
+            num, den = n2, d2
+        return num / jnp.maximum(den, 1.0)[..., None]
+
+    dm = dms[-1]
+    for i in range(levels, 0, -1):
+        d, v = _em_affine_dense(dm.disparity, dm.valid, lp[i], rp[i],
+                                kw, kh, int(em_iters), int(outer_iters))
+        # Feed forward a SMOOTH low-frequency CORRECTION, not the raw
+        # refined values: the dense EM kernel warps the right frame by the
+        # per-pixel INTEGER part of its seed (the gather-free formulation's
+        # locally-constant-warp assumption), and raw per-pixel coarse
+        # outputs carry enough divergence noise to flip that integer across
+        # windows and wreck the finer level (measured: raw feed-forward
+        # collapsed the 256^2 sinusoid final pass to 7% valid). A coarse
+        # level's legitimate information is the smooth part of
+        # (refined - seed); per-pixel detail is re-estimated at the finer
+        # level anyway. The reference's per-pixel gather kernel
+        # (Correlate.cc:500-845) needs no such hygiene.
+        delta = d - dm.disparity
+        ok = v & (jnp.max(jnp.abs(delta), -1) <= 1.25)
+        sm = _boxmean(jnp.where(ok[..., None], delta, 0.0),
+                      ok.astype(jnp.float32), 4)
+        up = jnp.repeat(jnp.repeat(sm * 2.0, 2, 0), 2, 1)
+        th, tw = lp[i - 1].shape
+        corr = up[:th, :tw]
+        ph, pw = th - corr.shape[0], tw - corr.shape[1]
+        if ph or pw:
+            corr = jnp.pad(corr, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        seed = dms[i - 1]
+        dm = DisparityMap(seed.disparity + corr, seed.valid)
+
+    d, valid = _em_affine_dense(dm.disparity, dm.valid, left, right,
+                                kw, kh, int(em_iters), fine_iters)
     return DisparityMap(d, valid)
