@@ -29,6 +29,9 @@ def read_image(path: str, dtype=np.float32) -> np.ndarray:
         raise IOErr(f"read_image: no such file {path!r}")
     if ext in _TIFF_EXT:
         arr, _ = read_tiff(path)
+    elif ext == ".exr":
+        from visionworkbench_tpu.fileio.exr import read_exr
+        arr, _ = read_exr(path)
     else:
         from PIL import Image
         with Image.open(path) as im:
@@ -49,6 +52,10 @@ def write_image(path: str, array, georef=None, nodata: Optional[float] = None,
     ext = os.path.splitext(path)[1].lower()
     if ext in _TIFF_EXT:
         write_tiff(path, array, georef=georef, nodata=nodata, tile_size=tile_size)
+        return
+    if ext == ".exr":
+        from visionworkbench_tpu.fileio.exr import write_exr
+        write_exr(path, array.astype(np.float32), compression="zip")
         return
     if ext in _PIL_EXT:
         from PIL import Image

@@ -32,6 +32,25 @@ def subsample(image, xfactor: int, yfactor: int = None):
     return image[::yfactor, ::xfactor]
 
 
+def subsample2_mxu(image):
+    """``subsample(image, 2)`` for 2D float images as two banded selection
+    matmuls: strided lane slices lower to gathers on this TPU toolchain
+    (~3-4 ms per 1024^2 plane, the round-2 DoG pipeline's top pathology);
+    a banded 0/1 MXU matmul selects the even rows/columns exactly."""
+    import jax.lax as lax
+    h, w = image.shape
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    o_r = lax.broadcasted_iota(jnp.int32, (h2, h), 0)
+    i_r = lax.broadcasted_iota(jnp.int32, (h2, h), 1)
+    dr = (i_r == 2 * o_r).astype(jnp.float32)
+    o_c = lax.broadcasted_iota(jnp.int32, (w2, w), 0)
+    i_c = lax.broadcasted_iota(jnp.int32, (w2, w), 1)
+    dc = (i_c == 2 * o_c).astype(jnp.float32)
+    out = jnp.einsum("oh,hw->ow", dr, jnp.asarray(image, jnp.float32),
+                     precision=lax.Precision.HIGHEST)
+    return jnp.einsum("ow,pw->op", out, dc, precision=lax.Precision.HIGHEST)
+
+
 def upsample(image, xfactor: int, yfactor: int = None):
     """Nearest upsample by integer factors (ref ``upsample``)."""
     if yfactor is None:

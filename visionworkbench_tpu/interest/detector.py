@@ -257,7 +257,17 @@ def detect_points_dog(img, threshold: float = 0.015, edge_ratio: float = 10.0,
         if min(bh, bw) < 16:
             break
         sigmas = [sigma0 * 2.0 ** (s / scales) for s in range(scales + 3)]
-        gauss = [gaussian_filter(base, s) for s in sigmas]
+        # Incremental Gaussian ladder (Lowe 2004 sec. 3): each step blurs the
+        # PREVIOUS level by the differential sigma sqrt(s_i^2 - s_{i-1}^2)
+        # instead of re-blurring the octave base at absolute sigmas — the
+        # kernels stay small (<= ~9 taps vs 2*ceil(2.5*3.2)+1 = 17 for the
+        # top absolute blur) and deeper octave bases keep the blur they
+        # already carry (the decimated gauss[scales] IS at sigma0 in the new
+        # octave's pixels; octave 0 blurs the raw input up to sigma0).
+        gauss = [base if o > 0 else gaussian_filter(base, sigmas[0])]
+        for s in range(1, scales + 3):
+            dsig = (sigmas[s] ** 2 - sigmas[s - 1] ** 2) ** 0.5
+            gauss.append(gaussian_filter(gauss[-1], dsig))
         dog = [g1 - g0 for g0, g1 in zip(gauss[:-1], gauss[1:])]
         stack = jnp.stack(dog)                      # (S+2, bh, bw)
         for s in range(1, scales + 1):
@@ -302,7 +312,11 @@ def detect_points_dog(img, threshold: float = 0.015, edge_ratio: float = 10.0,
                     xs * octave_scale, ys * octave_scale,
                     jnp.where(valid, sig, 1.0).astype(jnp.float32),
                     jnp.zeros((per_level,), jnp.float32), interest, valid))
-        base = gauss[scales][::2, ::2]     # sigma doubled -> next octave base
+        # sigma doubled -> next octave base; banded-matmul decimation (a
+        # strided lane slice lowers to a ~3-4 ms/Mpx gather on this
+        # toolchain — the round-2 profile's top DoG pathology).
+        from visionworkbench_tpu.image.manipulation import subsample2_mxu
+        base = subsample2_mxu(gauss[scales])
         octave_scale *= 2.0
     return concatenate_points(sets)
 

@@ -356,16 +356,22 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     if search_region.width <= 0 or search_region.height <= 0:
         raise ArgumentErr("pyramid_correlate: search region must be non-empty")
     half_kw, half_kh = kw // 2, kh // 2
-    # Engine: 'xla' is the chunked-volume sweep (big fused ops; measured
-    # faster than the current Pallas kernel on v5e through this stack — the
-    # Pallas path stays opt-in and needs tile_size >= 128 for block
-    # alignment).
-    if engine == "auto":
-        engine = "xla"
-    if engine not in ("xla", "pallas"):
+    # Engine: 'xla' is the chunked-volume sweep (big fused ops). On TPU,
+    # 'auto' runs the LEVEL-0 patches sweep through the VMEM-resident
+    # Pallas kernel (ops/sweep.py) for abs/sq costs — the round-3
+    # second-generation kernel whose per-group lane-packed matmuls measure
+    # 6.1 ms vs the XLA engine's 9.2 ms on the flagship stage (same-day
+    # A/B; fp32-grade two-term bf16 split, 99.998% argmin agreement,
+    # bit-exact for 8-bit-quantized inputs). 'pallas' forces it; refine
+    # levels and census/NCC stay on the XLA engine.
+    if engine not in ("auto", "xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
-    use_pallas = (engine == "pallas" and not sgm_mode
-                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq"))
+    use_pallas = (engine != "xla" and not sgm_mode
+                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq")
+                  and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1")
+    if use_pallas and engine == "auto":
+        from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
+        use_pallas = _pallas_target_platform() == "tpu"
     # Parabola subpixel via cost-volume reuse: the reference re-evaluates
     # nine ABSOLUTE window costs per pixel no matter what cost the correlator
     # used — a hard-coded choice its own comment questions
@@ -375,10 +381,12 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     # gather + nine box sums (~12 ms/Mpx on v5e; the census config measured
     # 58.6 -> 68.7 Mp/s from this, same-day pair). Set VWTPU_PARA_PATCHES=0
     # for the reference-exact SAD re-evaluation fallback.
-    use_patches = (subpixel == "parabola" and not sgm_mode and not use_pallas
+    use_patches = (subpixel == "parabola" and not sgm_mode
                    and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
                                      "ternary_census")
                    and os.environ.get("VWTPU_PARA_PATCHES", "1") == "1")
+    # The Pallas sweep serves the level-0 patches stage only.
+    use_pallas = use_pallas and use_patches
 
     if sgm_mode:
         from visionworkbench_tpu.stereo.sgm import (
@@ -406,10 +414,6 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     else:
         def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_,
                           seeds=None, lmask_=None, ranges=(0, 0)):
-            if use_pallas:
-                from visionworkbench_tpu.ops.cost_volume import pallas_tiled_search
-                return pallas_tiled_search(lbase_, mbase_, offsets_, t_,
-                                           sx_, sy_, kw, kh, cost_type)
             return _tiled_search(lbase_, mbase_, offsets_, t_, sx_, sy_,
                                  kw, kh, cost_type, census_window)
     s_w, s_h = int(search_region.width), int(search_region.height)
@@ -600,9 +604,15 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             # every tile window also covers the ±1 disparity ring.
             mbase_p = crop_extended(right_pyr[level], lx0 - 1, ly0 - 1,
                                     mw + 2, mh + 2, mode="constant")
-            disp, valid, patches = _tiled_search_patches(
-                lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
-                cost_type, census_window=census_window)
+            if use_pallas:
+                from visionworkbench_tpu.ops.sweep import pallas_sweep
+                disp, valid, patches = pallas_sweep(
+                    lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
+                    cost_type, want_patches=True)
+            else:
+                disp, valid, patches = _tiled_search_patches(
+                    lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
+                    cost_type, census_window=census_window)
             patches = patches[:out_h, :out_w]
         else:
             sgm_kwargs = {}
