@@ -10,8 +10,12 @@ Checks, all under SPMD multi-controller rules (global arrays built with
 ``jax.make_array_from_callback``):
 1. (host, chip) 2D mesh psum over both axes matches the local sum.
 2. ``hierarchical_sharded_correlate`` over all 8 global devices (host-major
-   1D tile mesh — the flattened (host, chip) product) equals the
-   single-process monolithic ``pyramid_correlate`` on the same scene.
+   1D tile mesh — the flattened (host, chip) product) agrees with the
+   single-process monolithic ``pyramid_correlate`` on the same scene:
+   integer winners + valid on >= 99% of interior pixels (the banded engine
+   is exact away from band seams; seam-adjacent tiles may compute different
+   per-tile search offsets — see docs/distributed.md "Parity semantics"),
+   and >= 90% of valid pixels recover the embedded true shift.
 3. Per-host tile writing: each process writes ONLY its addressable row-band
    shards; process 0 verifies the union covers the full frame.
 """

@@ -53,9 +53,15 @@ def main(argv=None) -> int:
                    help="time full-output readback instead of the digest")
     p.add_argument("--configs", type=int, nargs="+",
                    default=[1, 2, 3, 4, 5, 6, 7, 8])
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU (the same-frame reference-class "
+                        "baseline; use few --iters). Output lines carry "
+                        "platform=cpu. NEVER overlap with a TPU measurement.")
     args = p.parse_args(argv)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -70,8 +76,11 @@ def main(argv=None) -> int:
     right = jnp.asarray(right_np)
 
     def report(config, value, unit):
-        print(json.dumps({"config": config, "metric": "throughput",
-                          "value": round(value, 3), "unit": unit}), flush=True)
+        rec = {"config": config, "metric": "throughput",
+               "value": round(value, 3), "unit": unit}
+        if args.cpu:
+            rec["platform"] = "cpu"
+        print(json.dumps(rec), flush=True)
 
     if 1 in args.configs:
         # Config 1: separable Gaussian blur + 5-level pyramid.
@@ -204,6 +213,8 @@ def main(argv=None) -> int:
             cmd.append("--quick")
         if args.ship:
             cmd.append("--ship")
+        if args.cpu:
+            cmd.append("--cpu")
         out = subprocess.run(cmd, capture_output=True, text=True)
         for line in out.stdout.splitlines():
             if line.startswith("{"):

@@ -87,13 +87,33 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                    tile_size: int = 64,
                                    refine_window: int = 11,
                                    census_window: int = 5,
-                                   subpixel: str = "none") -> DisparityMap:
+                                   subpixel: str = "none",
+                                   stereo_algorithm: str = "bm",
+                                   sgm_search_buffer: int = 2) -> DisparityMap:
     """Distributed coarse-to-fine correlator with per-level halo exchange.
 
     Same output contract as ``pyramid_correlate`` (absolute disparities,
     ``search_region.min`` folded in); rows sharded over ``mesh``'s
     ``TILE_AXIS``.  Requires ``h % (n * 2^levels) == 0``.
+
+    ``stereo_algorithm``: ``"bm"`` (block matching) or ``"sgm"``/``"mgm"``.
+    In SGM/MGM mode each band runs the census + 8-path aggregation over its
+    rows plus ``tile_size`` rows of exchanged context per side, then crops —
+    the reference's per-tile rasterization semantics (``SGM.cc:2462-2531``
+    sweeps whole scanlines per tile; paths truncate at tile edges). Band
+    seams therefore truncate the vertical/diagonal aggregation paths at the
+    collar edge: rows whose winners depend on path context deeper than
+    ``tile_size`` rows may differ from the monolithic result (measured:
+    exact interior agreement away from seams on textured scenes;
+    tests/test_parallel.py pins the exact claim). The L<->R consistency
+    check is not offered in SGM mode (the monolithic engine provides it).
     """
+    if stereo_algorithm not in ("bm", "sgm", "mgm"):
+        raise ArgumentErr(f"unknown stereo_algorithm {stereo_algorithm!r}")
+    sgm_mode = stereo_algorithm in ("sgm", "mgm")
+    if sgm_mode and consistency_threshold >= 0:
+        raise ArgumentErr("hierarchical SGM/MGM does not offer the L<->R "
+                          "consistency check; use the monolithic engine")
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
     h, w = left.shape
@@ -112,6 +132,20 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
     hb = h // n
 
     kw, kh = int(kernel_size[0]), int(kernel_size[1])
+    if sgm_mode:
+        # Census support drives the padding, like the monolithic engine.
+        kw = kh = int(census_window)
+        from visionworkbench_tpu.stereo.sgm import (
+            _P1_TABLE, _P2_TABLE, sgm_relative_search,
+        )
+        from visionworkbench_tpu.stereo.pyramid_correlation import (
+            _tile_offsets_centered,
+        )
+        sgm_cost = "ternary_census" if cost_type == "ternary_census" \
+            else "census"
+        tkey = (sgm_cost, kw)
+        sgm_p1 = float(_P1_TABLE.get(tkey, 3))
+        sgm_p2 = float(_P2_TABLE.get(tkey, 70))
     if kw % 2 != 1 or kh % 2 != 1:
         raise ArgumentErr("kernel dimensions must be odd")
     half_kw, half_kh = kw // 2, kh // 2
@@ -220,7 +254,64 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
             nty, ntx = _cdiv(band_l, t), _cdiv(out_w, t)
             row_pad = nty * t - band_l
 
-            if level == levels:
+            if sgm_mode:
+                # Band + one tile-row of exchanged context per side: interior
+                # tiles see exactly the monolithic tile grid's content; the
+                # aggregation paths truncate at the collar edge (the
+                # reference's per-tile semantics).
+                ov = t if (band_l % t == 0 and band_l >= t) else 0
+                ext_l = band_l + 2 * ov
+                nty_e = _cdiv(ext_l, t)
+                pad_rows = nty_e * t - ext_l
+                cw2 = kw // 2
+                if level == levels:
+                    offsets_s = jnp.zeros((nty_e, ntx, 2), jnp.int32)
+                    s_x_eff, s_y_eff = s_w_l, s_h_l
+                    seeds = None
+                else:
+                    prior = disparity_upsample(dm)
+                    pr_d = prior.disparity[:band_l, :out_w]
+                    pr_v = prior.valid[:band_l, :out_w]
+                    pr_d = halo_exchange_rows(pr_d, ov, ov + pad_rows)
+                    pr_v = halo_exchange_rows(pr_v, ov, ov + pad_rows)
+                    pr_d = jnp.pad(pr_d, ((0, 0), (0, ntx * t - out_w),
+                                          (0, 0)))
+                    pr_v = jnp.pad(pr_v, ((0, 0), (0, ntx * t - out_w)))
+                    rw_ = 2 * int(sgm_search_buffer) + 1
+                    s_x_eff = min(rw_, s_w_l)
+                    s_y_eff = min(rw_, s_h_l)
+                    offsets_s = _tile_offsets_centered(
+                        pr_d, pr_v, t, int(sgm_search_buffer),
+                        s_w_l - s_x_eff, s_h_l - s_y_eff,
+                        value_bounds=(s_w_l, s_h_l))
+                    seeds = (pr_d.astype(jnp.float32), pr_v)
+                lbase_s = halo_exchange_rows(lpyr[level], ov + cw2,
+                                             ov + cw2 + pad_rows)
+                mbase_s = halo_exchange_rows(rpyr[level], ov + cw2,
+                                             ov + cw2 + pad_rows
+                                             + s_h_l - 1)
+                lx0s = region_off_x - cw2
+                lbw_s = ntx * t + kw - 1
+                lbase_s = crop_extended(lbase_s, lx0s, 0, lbw_s,
+                                        lbase_s.shape[0], mode="constant")
+                mbase_s = crop_extended(mbase_s, lx0s, 0,
+                                        lbw_s + s_w_l - 1,
+                                        mbase_s.shape[0], mode="constant")
+                lm_lvl = lmask_pyr[level][:band_l, :out_w]
+                lm_lvl = halo_exchange_rows(lm_lvl, ov, ov + pad_rows)
+                lm_lvl = jnp.pad(lm_lvl, ((0, 0), (0, ntx * t - out_w)))
+                sd, sv = (None, None) if seeds is None else seeds
+                disp, valid = sgm_relative_search(
+                    lbase_s, mbase_s, offsets_s, t, s_x_eff, s_y_eff, kw,
+                    sgm_cost == "ternary_census", 2, sgm_p1, sgm_p2,
+                    stereo_algorithm == "mgm",
+                    subpixel if on_last else "none",
+                    seed_disp=sd, seed_valid=sv,
+                    search_buffer=int(sgm_search_buffer),
+                    range_x=int(s_w_l), range_y=int(s_h_l), lmask=lm_lvl)
+                dm = DisparityMap(disp[ov:ov + band_l, :out_w],
+                                  valid[ov:ov + band_l, :out_w])
+            elif level == levels:
                 offsets = jnp.zeros((nty, ntx, 2), jnp.int32)
                 s_x_eff, s_y_eff = s_w_l, s_h_l
             else:
@@ -235,22 +326,24 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                 offsets = _tile_offsets(pr_d, pr_v, t, 2,
                                         s_w_l - s_x_eff, s_h_l - s_y_eff)
 
-            # Vertical context over ICI; horizontal from the stored pad.
-            lbase = halo_exchange_rows(lpyr[level], half_kh,
-                                       half_kh + row_pad)
-            mbase = halo_exchange_rows(rpyr[level], half_kh,
-                                       half_kh + row_pad + s_h_l - 1)
-            lx0 = region_off_x - half_kw
-            lbw = ntx * t + kw - 1
-            lbase = crop_extended(lbase, lx0, 0, lbw, lbase.shape[0],
-                                  mode="constant")
-            mbase = crop_extended(mbase, lx0, 0, lbw + s_w_l - 1,
-                                  mbase.shape[0], mode="constant")
+            if not sgm_mode:
+                # Vertical context over ICI; horizontal from the stored pad.
+                lbase = halo_exchange_rows(lpyr[level], half_kh,
+                                           half_kh + row_pad)
+                mbase = halo_exchange_rows(rpyr[level], half_kh,
+                                           half_kh + row_pad + s_h_l - 1)
+                lx0 = region_off_x - half_kw
+                lbw = ntx * t + kw - 1
+                lbase = crop_extended(lbase, lx0, 0, lbw, lbase.shape[0],
+                                      mode="constant")
+                mbase = crop_extended(mbase, lx0, 0, lbw + s_w_l - 1,
+                                      mbase.shape[0], mode="constant")
 
-            disp, valid = _tiled_search(lbase, mbase, offsets, t, s_x_eff,
-                                        s_y_eff, kw, kh, cost_type,
-                                        census_window)
-            dm = DisparityMap(disp[:band_l, :out_w], valid[:band_l, :out_w])
+                disp, valid = _tiled_search(lbase, mbase, offsets, t,
+                                            s_x_eff, s_y_eff, kw, kh,
+                                            cost_type, census_window)
+                dm = DisparityMap(disp[:band_l, :out_w],
+                                  valid[:band_l, :out_w])
 
             if on_last and consistency_threshold >= 0:
                 # Banded L<->R check (ref CorrelationView.cc:653-695 /
@@ -346,7 +439,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                                dm.disparity.dtype), 0),
             dm.valid)
 
-        if subpixel == "parabola":
+        if subpixel == "parabola" and not sgm_mode:
             from visionworkbench_tpu.stereo.subpixel import (
                 MAX_SUBPIXEL_SHIFT, parabola_subpixel,
             )
@@ -371,7 +464,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                 jnp.where(ref.valid[m_top:m_top + hb, :, None],
                           ref.disparity[m_top:m_top + hb], 0),
                 ref.valid[m_top:m_top + hb])
-        elif subpixel != "none":
+        elif subpixel != "none" and not sgm_mode:
             raise ArgumentErr(f"unknown subpixel mode {subpixel!r}")
         return final.disparity, final.valid
 
