@@ -1,4 +1,8 @@
-"""Fused Pallas TPU kernel for the block-matching cost-volume search
+"""First-generation fused Pallas cost-volume kernel — SUPERSEDED by
+``ops/sweep.py`` (round 3), which fixed this kernel's failure mode
+(per-disparity small matmuls serialized through Mosaic) with lane-packed
+per-group matmuls and BEATS the XLA engine 1.5x. This module is kept for
+the offset-search variant's tests and as the documented negative result
 (ref the hottest loop ``best_of_search_convolution``,
 ``src/vw/Stereo/Correlation.cc:62-119`` + ``fast_box_sum``,
 ``Stereo/Algorithms.h:41-131``; SURVEY.md section 2.13 items 1-2).

@@ -201,8 +201,8 @@ def pallas_mgm_bidir(cost_t, pd_f, pd_r, g_f, g_r, shifts: Tuple[int, int],
             carry[:] = jnp.full((2, sy, sx, nl), bad, jnp.float32)
 
         cx = jnp.stack([cf[0], cr[0]], 0)
-        px = jnp.stack([pf[0], pr[0]], 0)
-        gx = jnp.stack([gf[0], gr[0]], 0) > 0
+        px = jnp.stack([pf[0, 0], pr[0, 0]], 0)
+        gx = jnp.stack([gf[0, 0], gr[0, 0]], 0) > 0
         out = _mgm_step(carry[:], cx, px, gx, shifts, p1, p2, bad)
         carry[:] = out
         yf[0] = out[0]
@@ -210,20 +210,25 @@ def pallas_mgm_bidir(cost_t, pd_f, pd_r, g_f, g_r, shifts: Tuple[int, int],
 
     fwd = lambda t: (t, 0, 0, 0)                       # noqa: E731
     rev = lambda t: (n - 1 - t, 0, 0, 0)               # noqa: E731
-    fwd2 = lambda t: (t, 0)                            # noqa: E731
-    rev2 = lambda t: (n - 1 - t, 0)                    # noqa: E731
-    gf32 = g_f.astype(jnp.float32)
-    gr32 = g_r.astype(jnp.float32)
+    fwd3 = lambda t: (t, 0, 0)                         # noqa: E731
+    rev3 = lambda t: (n - 1 - t, 0, 0)                 # noqa: E731
+    # pd/guard ride as (N, 1, L): Mosaic requires the last TWO block dims
+    # to divide (8, 128) or equal the array dims — a 2D (1, L) block puts
+    # the 1 in the sublane slot and fails at L < 128.
+    gf32 = g_f.astype(jnp.float32)[:, None, :]
+    gr32 = g_r.astype(jnp.float32)[:, None, :]
+    pf3 = pd_f[:, None, :]
+    pr3 = pd_r[:, None, :]
     yf, yr = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, sy, sx, nl), fwd),
             pl.BlockSpec((1, sy, sx, nl), rev),
-            pl.BlockSpec((1, nl), fwd2),
-            pl.BlockSpec((1, nl), rev2),
-            pl.BlockSpec((1, nl), fwd2),
-            pl.BlockSpec((1, nl), rev2),
+            pl.BlockSpec((1, 1, nl), fwd3),
+            pl.BlockSpec((1, 1, nl), rev3),
+            pl.BlockSpec((1, 1, nl), fwd3),
+            pl.BlockSpec((1, 1, nl), rev3),
         ],
         out_specs=[
             pl.BlockSpec((1, sy, sx, nl), fwd),
@@ -235,7 +240,7 @@ def pallas_mgm_bidir(cost_t, pd_f, pd_r, g_f, g_r, shifts: Tuple[int, int],
         ],
         scratch_shapes=[pltpu.VMEM((2, sy, sx, nl), jnp.float32)],
         interpret=interpret,
-    )(cost_t, cost_t, pd_f, pd_r, gf32, gr32)
+    )(cost_t, cost_t, pf3, pr3, gf32, gr32)
     return yf + yr
 
 

@@ -336,21 +336,48 @@ def _mgm_plain_scan(cost_t, pd_f, pd_r, g_f, g_r, p1, p2, bad):
     return ys[:, 0] + jnp.flip(ys[:, 1], 0)
 
 
+def _shear_rows(a, pad_value=0):
+    """Skew ``a`` (B, H, W, ...) to (B, H, W+H, ...) with
+    ``out[b, y, x'] = a[b, y, x'-y]`` (``pad_value`` outside) — the
+    pad+reshape trick: store rows at width S = W+H+1, re-view the flat
+    buffer at width S-1; each row's content then shifts right by its row
+    index. NO gather (``take_along_axis`` shears cost ~80 ms/frame on the
+    512^2 MGM volume on this toolchain; this is a reshape + pad)."""
+    b, h, w = a.shape[:3]
+    rest = a.shape[3:]
+    s = w + h + 1
+    pad = ((0, 0), (0, 0), (0, s - w)) + ((0, 0),) * len(rest)
+    p = jnp.pad(a, pad, constant_values=pad_value)
+    flat = p.reshape((b, h * s) + rest)
+    return flat[:, :h * (s - 1)].reshape((b, h, s - 1) + rest)
+
+
+def _unshear_rows(a, w: int):
+    """Inverse skew: ``a`` (B, H, T=W+H, ...) -> (B, H, W, ...) with
+    ``out[b, y, x] = a[b, y, x+y]`` (flat re-view at width T+1)."""
+    b, h, t = a.shape[:3]
+    rest = a.shape[3:]
+    flat = a.reshape((b, h * t) + rest)
+    flat = jnp.pad(flat, ((0, 0), (0, h)) + ((0, 0),) * len(rest))
+    return flat.reshape((b, h, t + 1) + rest)[:, :, :w]
+
+
 def _mgm_sheared_scan(cb, pdb, gb, p1, p2, bad):
     """Sheared left+up MGM scan for a batch of B pre-flipped orientations.
     ``cb`` (B, H, W, sy, sx); ``pdb``/``gb`` (B, H, W). Each orientation's
     recurrence is out(y, x) <- avg(eval(out(y, x-1)), eval(out(y-1, x)));
     shearing rows (x' = x + y) puts both causal neighbors in sheared column
-    x'-1, giving a pure column scan. Returns (B, H, W, sy, sx)."""
+    x'-1, giving a pure column scan. Returns (B, H, W, sy, sx).
+
+    Out-of-shear cells carry guard=False (the shear pads False), so their
+    step output is their (padded-zero) local cost; no outside value ever
+    feeds an inside cell — column-0 cells are guard-reset to local and the
+    lane-shift prior of an inside cell is always another inside cell."""
     b, h, w, sy, sx = cb.shape
     ww = w + h
-    src_x = (jnp.arange(ww)[None, :] - jnp.arange(h)[:, None])   # (H, WW)
-    inside = (src_x >= 0) & (src_x < w)
-    xc = jnp.clip(src_x, 0, w - 1)
-    cs = jnp.take_along_axis(cb, xc[None, :, :, None, None], axis=2)
-    pds = jnp.take_along_axis(pdb, xc[None, :, :], axis=2)       # (B, H, WW)
-    gs = jnp.take_along_axis(gb, xc[None, :, :], axis=2) \
-        & inside[None, :, :]
+    cs = _shear_rows(cb, 0)                                      # (B,H,WW,..)
+    pds = _shear_rows(pdb, 0)
+    gs = _shear_rows(gb, False)
 
     cT = jnp.transpose(cs, (2, 0, 3, 4, 1))       # (WW, B, sy, sx, H)
     pT = jnp.transpose(pds, (2, 0, 1))            # (WW, B, H)
@@ -374,8 +401,7 @@ def _mgm_sheared_scan(cb, pdb, gb, p1, p2, bad):
         _, ys = lax.scan(step, init, (cT, pT, gT), unroll=_SCAN_UNROLL)
 
     out_s = jnp.transpose(ys, (1, 4, 0, 2, 3))    # (B, H, WW, sy, sx)
-    dst_x = jnp.arange(h)[:, None] + jnp.arange(w)[None, :]
-    return jnp.take_along_axis(out_s, dst_x[None, :, :, None, None], axis=2)
+    return _unshear_rows(out_s, w)
 
 
 def _mgm_aggregate(cost, img, p1: float, p2: float, bad: float):
@@ -508,28 +534,36 @@ def _parabola_2d(z, dx, dy, sx: int, sy: int):
     return ox, oy
 
 
-def _masked_mean3(v, allowed_f, axis: int):
+def _sh3(x, d: int, axis: int):
+    z = jnp.zeros_like(jnp.take(x, jnp.array([0]), axis=axis))
+    n = x.shape[axis]
+    if d > 0:
+        body = lax.slice_in_dim(x, 0, n - d, axis=axis)
+        return jnp.concatenate([z, body], axis=axis)
+    body = lax.slice_in_dim(x, -d, n, axis=axis)
+    return jnp.concatenate([body, z], axis=axis)
+
+
+def _masked_mean3(v, allowed_f, inv_cnt, axis: int):
     """One ``select_best_disparity`` smoothing iteration (SGM.cc:1223-1268):
     3-tap box mean along ``axis`` of the (H, W, sy, sx) volume with
     out-of-rectangle taps dropped (the per-pixel bounds rectangle =
     ``allowed``; at its edges the reference drops the out-of-range tap),
     rounded half-away-from-zero (C ``round``; values are non-negative
-    integers < 2^24 so fp32 floor(x + 0.5) is exact)."""
-    def sh(x, d):
-        z = jnp.zeros_like(jnp.take(x, jnp.array([0]), axis=axis))
-        n = x.shape[axis]
-        if d > 0:
-            body = lax.slice_in_dim(x, 0, n - d, axis=axis)
-            return jnp.concatenate([z, body], axis=axis)
-        body = lax.slice_in_dim(x, -d, n, axis=axis)
-        return jnp.concatenate([body, z], axis=axis)
-
+    integers < 2^24 so fp32 floor(x + 0.5) is exact). ``inv_cnt``: the
+    precomputed reciprocal tap count for this axis (constant across
+    iterations; division by 1/2/3 exact-safe at these magnitudes —
+    1/n is exact for n in {1,2} and the n=3 quotient's fp32 error is far
+    below the 1/6 decision margins)."""
     va = v * allowed_f
-    s = va + sh(va, 1) + sh(va, -1)
-    cnt = allowed_f + sh(allowed_f, 1) + sh(allowed_f, -1)
-    mean = s / jnp.maximum(cnt, 1.0)
-    out = jnp.floor(mean + 0.5)
+    s = va + _sh3(va, 1, axis) + _sh3(va, -1, axis)
+    out = jnp.floor(s * inv_cnt + 0.5)
     return jnp.where(allowed_f > 0, out, v)
+
+
+# A/B knob: 0 skips the reference's multiple-minimum smoothing cascade
+# (first-minimum WTA like rounds <= 2). Default 1 = reference semantics.
+_EXACT_TIES = os.environ.get("VWTPU_SGM_EXACT_TIES", "1") == "1"
 
 
 def _tie_smooth_select(acc, allowed):
@@ -547,11 +581,31 @@ def _tie_smooth_select(acc, allowed):
     af = allowed.astype(acc.dtype)
 
     def stats(v):
+        """(min, multiplicity, first-argmin) in ONE volume read — a
+        3-operand variadic ``lax.reduce`` (the separate min + eq-count +
+        argmin passes measured a 25% pyramid-SGM hit; same-day A/B in
+        CLAUDE.md)."""
         vm = jnp.where(allowed, v, _INF).reshape(h, w, sy * sx)
-        mn = jnp.min(vm, -1)
-        cnt = jnp.sum((vm == mn[..., None]).astype(jnp.int32), -1)
-        arg = jnp.argmin(vm, -1).astype(jnp.int32)
+        ids = lax.broadcasted_iota(jnp.int32, vm.shape, 2)
+
+        def comb(a, b):
+            mv1, c1, a1 = a
+            mv2, c2, a2 = b
+            lt = mv1 < mv2
+            gt = mv2 < mv1
+            mn = jnp.minimum(mv1, mv2)
+            cnt = jnp.where(lt, c1, jnp.where(gt, c2, c1 + c2))
+            arg = jnp.where(lt, a1, jnp.where(gt, a2, jnp.minimum(a1, a2)))
+            return mn, cnt, arg
+
+        mn, cnt, arg = lax.reduce(
+            (vm, jnp.ones_like(vm, jnp.int32), ids),
+            (_INF, jnp.int32(0), jnp.int32(2 ** 30)), comb, (2,))
         return mn, cnt, arg
+
+    if not _EXACT_TIES:
+        vm = jnp.where(allowed, acc, _INF).reshape(h, w, sy * sx)
+        return acc, jnp.argmin(vm, -1).astype(jnp.int32)
 
     _, cnt0, arg0 = stats(acc)
 
@@ -559,11 +613,16 @@ def _tie_smooth_select(acc, allowed):
         return acc, arg0
 
     def smooth(_):
+        inv = {}
+        for ax in (2, 3):
+            cnt = af + _sh3(af, 1, ax) + _sh3(af, -1, ax)
+            inv[ax] = 1.0 / jnp.maximum(cnt, 1.0)
         sel, argsel = acc, arg0
         done = cnt0 <= 1
         v = acc
         for k in range(1, 7):
-            v = _masked_mean3(v, af, axis=3 if k <= 5 else 2)
+            ax = 3 if k <= 5 else 2
+            v = _masked_mean3(v, af, inv[ax], axis=ax)
             _, cnt_k, arg_k = stats(v)
             upd = ~done
             sel = jnp.where(upd[..., None, None], v, sel)
