@@ -85,3 +85,29 @@ def test_sweep_split2_float_agreement(rng):
     both = np.asarray(v0) & np.asarray(v1) & agree
     np.testing.assert_allclose(np.asarray(p1)[both], np.asarray(p0)[both],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sweep_census_bitexact(rng):
+    """Census costs in-kernel: integer hamming box sums are EXACT (1+2
+    bf16 passes), so disp/valid/patches must match the XLA census engine
+    bit-for-bit away from tile borders (the kernel computes codes on the
+    full frame; the XLA tiled path's per-tile census sees replicated crop
+    edges within the census half-window of tile borders)."""
+    tile, kw, kh, s_x, s_y = 16, 7, 5, 5, 3
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, "census", census_window=5)
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, "census", want_patches=True,
+                              census_window=5, interpret=True)
+    # interior of each tile (2 px census margin off tile borders)
+    h, w = np.asarray(v0).shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    interior = (yy % tile >= 2) & (yy % tile < tile - 2) \
+        & (xx % tile >= 2) & (xx % tile < tile - 2)
+    np.testing.assert_array_equal(np.asarray(v1)[interior],
+                                  np.asarray(v0)[interior])
+    np.testing.assert_array_equal(np.asarray(d1)[interior],
+                                  np.asarray(d0)[interior])
+    both = interior & np.asarray(v0) & np.asarray(v1)
+    np.testing.assert_array_equal(np.asarray(p1)[both], np.asarray(p0)[both])

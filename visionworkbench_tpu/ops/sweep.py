@@ -105,8 +105,40 @@ def _split_dot_rhs(x, b_bf16, dims, precision: str):
                                  preferred_element_type=jnp.float32)
 
 
+def _int_dot(a_bf16, x, dims, xmax: int, rhs: bool = False):
+    """Bit-exact banded dot for INTEGER-valued fp32 operands (census
+    hamming costs): integers <= 256 are exact in bf16, so one pass when
+    ``xmax <= 256`` and a 256-split (x = 256*hi + lo, both exact) when
+    larger — 1-2 MXU passes, exact, vs split2's fp32-grade 2 passes
+    (the in-kernel twin of ``stereo.correlation._exact_int_band_einsum``)."""
+    def dot(y):
+        if rhs:
+            return lax.dot_general(y.astype(jnp.bfloat16), a_bf16, dims,
+                                   preferred_element_type=jnp.float32)
+        return lax.dot_general(a_bf16, y.astype(jnp.bfloat16), dims,
+                               preferred_element_type=jnp.float32)
+
+    if xmax <= 256:
+        return dot(x)
+    hi = jnp.floor(x * (1.0 / 256.0))
+    lo = x - hi * 256.0
+    return dot(hi) * 256.0 + dot(lo)
+
+
+def _popcount(x):
+    """Bit-population count of int32 words (census hamming)."""
+    return lax.population_count(x)
+
+
+# max per-pixel hamming cost by (ternary?, window) — single-word census
+# variants only (window 7 census and most ternary windows pack 2 words).
+_CENSUS_BITS = {(False, 3): 8, (False, 5): 24, (False, 9): 32,
+                (True, 3): 16}
+
+
 def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
-                       cost_type: str, want_patches: bool, precision: str):
+                       cost_type: str, want_patches: bool, precision: str,
+                       census_bits: int = 0):
     """Kernel factory. Extended search grid (ey, ex) in
     [0, sy_e) x [0, ex_pad): with patches the grid carries the ±1 parabola
     ring (sy_e = sy + 2, candidate disparity = off + (ex-1, ey-1)); without
@@ -190,6 +222,9 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
                 if ex < sx_e:
                     if cost_type == "abs":
                         planes.append(jnp.abs(left - r_cur))
+                    elif cost_type == "census":
+                        planes.append(_popcount(
+                            jnp.bitwise_xor(left, r_cur)).astype(jnp.float32))
                     else:
                         d = left - r_cur
                         planes.append(d * d)
@@ -200,11 +235,18 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
             # ex_pad small ones serialized through Mosaic (the round-1
             # kernel's failure mode; measured ~10% MXU efficiency).
             chunk2d = jnp.concatenate(planes, axis=1)    # (lh8, ex_pad*W)
-            rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
-                              precision)                 # (tile, ex_pad*W)
-            rs = rs2d.reshape(tile, ex_pad, w_all)
-            cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
-                                precision)               # (tile, ex_pad, T)
+            if cost_type == "census":    # integer costs: exact 1+2 passes
+                rs2d = _int_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
+                                census_bits)
+                rs = rs2d.reshape(tile, ex_pad, w_all)
+                cs = _int_dot(b_col, rs, (((2,), (0,)), ((), ())),
+                              census_bits * kh, rhs=True)
+            else:
+                rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
+                                  precision)             # (tile, ex_pad*W)
+                rs = rs2d.reshape(tile, ex_pad, w_all)
+                cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
+                                    precision)           # (tile, ex_pad, T)
             if want_patches:
                 vol2[:, ey * ex_pad:(ey + 1) * ex_pad, :] = cs
             if ey_lo <= ey <= ey_hi:
@@ -243,11 +285,11 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "s_x", "s_y", "kw", "kh", "cost_type", "want_patches",
-    "precision", "interpret"))
+    "precision", "census_window", "interpret"))
 def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                  kw: int, kh: int, cost_type: str = "abs",
                  want_patches: bool = True, precision: str = "split2",
-                 interpret: bool = False):
+                 census_window: int = 5, interpret: bool = False):
     """Fused per-tile disparity sweep, matching the contracts of
     ``stereo.pyramid_correlation._tiled_search_patches`` (``want_patches``)
     and ``_tiled_search`` (plain window).
@@ -263,13 +305,47 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     ``want_patches=False``; sizes (nty*tile, ntx*tile, ...); disp = offset +
     in-window argbest (int32).
     """
-    if cost_type not in ("abs", "sq"):
-        raise ArgumentErr("pallas_sweep supports abs/sq costs")
-    base = jnp.asarray(base, jnp.float32)
-    match = jnp.asarray(match, jnp.float32)
+    if cost_type not in ("abs", "sq", "census", "ternary_census"):
+        raise ArgumentErr("pallas_sweep supports abs/sq/census costs")
+    census_bits = 0
+    if cost_type in ("census", "ternary_census"):
+        key = (cost_type == "ternary_census", int(census_window))
+        if key not in _CENSUS_BITS:
+            raise ArgumentErr(
+                f"pallas_sweep: census variant {key} packs multiple words "
+                "(unsupported in-kernel); use the XLA engine")
+        census_bits = _CENSUS_BITS[key]
+        from visionworkbench_tpu.image.census import (
+            census_transform, ternary_census_transform,
+        )
+
+        def _codes(img):
+            q = jnp.clip(jnp.asarray(img, jnp.float32) * 255.0,
+                         0, 255).astype(jnp.int32)
+            if cost_type == "ternary_census":
+                c = ternary_census_transform(q, int(census_window))
+            else:
+                c = census_transform(q, int(census_window))
+            return lax.bitcast_convert_type(c[..., 0], jnp.int32)
+
+        # Codes are computed on the FULL frames (global supports) — unlike
+        # the XLA tiled path whose per-tile census sees replicated crop
+        # edges within the census half-window of tile borders (the
+        # documented _search_with_patches deviation); interior pixels are
+        # identical.
+        base = _codes(base)
+        match = _codes(match)
+        in_dtype = jnp.int32
+        cost_kernel = "census"
+    else:
+        base = jnp.asarray(base, jnp.float32)
+        match = jnp.asarray(match, jnp.float32)
+        in_dtype = jnp.float32
+        cost_kernel = cost_type
     nty, ntx = offsets.shape[0], offsets.shape[1]
     kernel, lh8, rh8, w_all, ex_pad = _make_sweep_kernel(
-        tile, kw, kh, s_x, s_y, cost_type, want_patches, precision)
+        tile, kw, kh, s_x, s_y, cost_kernel, want_patches, precision,
+        census_bits)
     ring = 1 if want_patches else 0
     sy_e = s_y + 2 * ring
 
@@ -290,8 +366,8 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     i32t = jax.ShapeDtypeStruct((nty, ntx, tile, tile), jnp.int32)
     n_out = 12 if want_patches else 3
     scratch = [
-        pltpu.VMEM((lh8, w_all + 128), jnp.float32),
-        pltpu.VMEM((rh8 + 8, w_all + 128), jnp.float32),
+        pltpu.VMEM((lh8, w_all + 128), in_dtype),
+        pltpu.VMEM((rh8 + 8, w_all + 128), in_dtype),
     ]
     if want_patches:
         scratch.append(pltpu.VMEM((tile, sy_e * ex_pad, tile), jnp.float32))

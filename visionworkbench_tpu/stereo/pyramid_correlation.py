@@ -367,8 +367,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     if engine not in ("auto", "xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
     use_pallas = (engine != "xla" and not sgm_mode
-                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq")
+                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
+                                    "ternary_census")
                   and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1")
+    if use_pallas and cost_type in ("census", "ternary_census"):
+        # in-kernel census needs single-word codes (exact integer box sums)
+        from visionworkbench_tpu.ops.sweep import _CENSUS_BITS
+        use_pallas = ((cost_type == "ternary_census",
+                       int(census_window)) in _CENSUS_BITS)
     if use_pallas and engine == "auto":
         from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
         use_pallas = _pallas_target_platform() == "tpu"
@@ -608,7 +614,8 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                 from visionworkbench_tpu.ops.sweep import pallas_sweep
                 disp, valid, patches = pallas_sweep(
                     lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
-                    cost_type, want_patches=True)
+                    cost_type, want_patches=True,
+                    census_window=int(census_window))
             else:
                 disp, valid, patches = _tiled_search_patches(
                     lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
