@@ -366,18 +366,19 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     # levels and census/NCC stay on the XLA engine.
     if engine not in ("auto", "xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
-    use_pallas = (engine != "xla" and not sgm_mode
-                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
-                                    "ternary_census")
-                  and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1")
-    if use_pallas and cost_type in ("census", "ternary_census"):
+    pallas_ok = (engine != "xla" and not sgm_mode
+                 and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
+                                   "ternary_census")
+                 and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1")
+    if pallas_ok and cost_type in ("census", "ternary_census"):
         # in-kernel census needs single-word codes (exact integer box sums)
         from visionworkbench_tpu.ops.sweep import _CENSUS_BITS
-        use_pallas = ((cost_type == "ternary_census",
-                       int(census_window)) in _CENSUS_BITS)
-    if use_pallas and engine == "auto":
+        pallas_ok = ((cost_type == "ternary_census",
+                      int(census_window)) in _CENSUS_BITS)
+    if pallas_ok and engine == "auto":
         from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
-        use_pallas = _pallas_target_platform() == "tpu"
+        pallas_ok = _pallas_target_platform() == "tpu"
+    use_pallas = pallas_ok
     # Parabola subpixel via cost-volume reuse: the reference re-evaluates
     # nine ABSOLUTE window costs per pixel no matter what cost the correlator
     # used — a hard-coded choice its own comment questions
@@ -420,6 +421,19 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     else:
         def _level_search(lbase_, mbase_, offsets_, t_, sx_, sy_, last_,
                           seeds=None, lmask_=None, ranges=(0, 0)):
+            # Level 0 (the forward pass when parabola patches are off, and
+            # the RL consistency search) through the VMEM-resident kernel:
+            # the plain no-patch variant measures 3.94 ms vs the XLA
+            # engine's 6.16 on the flagship stage. Coarse levels stay XLA —
+            # their sweeps are sub-ms and each kernel shape costs a
+            # separate multi-minute remote Mosaic compile.
+            if pallas_ok and last_:
+                from visionworkbench_tpu.ops.sweep import pallas_sweep
+                d_, v_, _ = pallas_sweep(lbase_, mbase_, offsets_, t_,
+                                         sx_, sy_, kw, kh, cost_type,
+                                         want_patches=False,
+                                         census_window=int(census_window))
+                return d_, v_
             return _tiled_search(lbase_, mbase_, offsets_, t_, sx_, sy_,
                                  kw, kh, cost_type, census_window)
     s_w, s_h = int(search_region.width), int(search_region.height)
