@@ -616,12 +616,57 @@ def best_of_search_convolution(left, right, search_volume, kernel_size,
             f"{(h + sy - 1, w + sx - 1)}, got {right.shape}")
     if cost_type not in COST_TYPES:
         raise ArgumentErr(f"Unknown cost type {cost_type!r}")
+    if not return_cost:
+        out = _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
+                                   census_window)
+        if out is not None:
+            return out
     chunk = _auto_chunk(sx * sy, h * w, cost_type)
     disp, valid, best = _best_of_search(left, right, sx, sy, kw, kh, cost_type,
                                         census_window, chunk)
     if return_cost:
         return DisparityMap(disp, valid), best
     return DisparityMap(disp, valid)
+
+
+def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
+                         census_window) -> Optional[DisparityMap]:
+    """Route the uniform-window sweep through the VMEM-resident Pallas
+    kernel on TPU (``ops/sweep.py``; 1.5x the XLA engine on tiled stages)
+    when the cost/shape qualifies: abs/sq or single-word census, frame big
+    enough to amortize the tile grid, per-group working set within VMEM.
+    ``VWTPU_SWEEP_PALLAS=0`` disables. Returns None to use the XLA engine
+    (always on CPU — the bit-reproducible reference path the parity oracle
+    pins)."""
+    if os.environ.get("VWTPU_SWEEP_PALLAS", "1") != "1":
+        return None
+    from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
+    if _pallas_target_platform() != "tpu":
+        return None
+    from visionworkbench_tpu.ops.sweep import _CENSUS_BITS, _pow2_at_least
+    if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
+        if (cost_type == TERNARY_CENSUS_TRANSFORM,
+                int(census_window)) not in _CENSUS_BITS:
+            return None
+    elif cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE):
+        return None
+    h, w = left.shape
+    out_h, out_w = h - kh + 1, w - kw + 1
+    tile = 64
+    if out_h < 2 * tile or out_w < 2 * tile:
+        return None                      # too small to amortize the grid
+    lh8 = -(-(tile + kh - 1) // 8) * 8
+    w_all = -(-(tile + kw - 1 + sx - 1) // 128) * 128
+    chunk_bytes = lh8 * _pow2_at_least(sx) * w_all * 4
+    if chunk_bytes > 8 * 1024 * 1024:
+        return None                      # per-group chunk beyond VMEM budget
+    from visionworkbench_tpu.ops.sweep import pallas_sweep
+    nty, ntx = -(-out_h // tile), -(-out_w // tile)
+    offsets = jnp.zeros((nty, ntx, 2), jnp.int32)
+    disp, valid, _ = pallas_sweep(left, right, offsets, tile, sx, sy, kw, kh,
+                                  cost_type, want_patches=False,
+                                  census_window=int(census_window))
+    return DisparityMap(disp[:out_h, :out_w], valid[:out_h, :out_w])
 
 
 def calc_disparity(cost_type: str, left_in, right_in, left_region: BBox2i,
