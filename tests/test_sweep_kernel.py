@@ -111,3 +111,18 @@ def test_sweep_census_bitexact(rng):
                                   np.asarray(d0)[interior])
     both = interior & np.asarray(v0) & np.asarray(v1)
     np.testing.assert_array_equal(np.asarray(p1)[both], np.asarray(p0)[both])
+
+
+def test_sweep_tiny_search_and_degraded(rng):
+    """Degenerate search windows (1x1, corr_timeout-degraded shapes) stay
+    correct through the kernel."""
+    tile, kw, kh = 16, 5, 5
+    for (s_x, s_y) in [(1, 1), (3, 1), (1, 2)]:
+        base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+        d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile,
+                                           s_x, s_y, kw, kh, "abs")
+        d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                                  kw, kh, "abs", want_patches=True,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))

@@ -405,7 +405,10 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     rel = jnp.stack([ex - ring, ey - ring], -1)
     off_map = jnp.repeat(jnp.repeat(offsets.astype(jnp.int32), tile, 0),
                          tile, 1)
-    disp = jnp.where(valid[..., None], rel + off_map, 0)
+    # contract parity with _tiled_search(_patches): the in-window argbest is
+    # zeroed where invalid BEFORE the per-tile offset is added (invalid
+    # pixels carry their tile offset, which downstream masks ignore)
+    disp = jnp.where(valid[..., None], rel, 0) + off_map
     patch = None
     if want_patches:
         patch = jnp.stack([untile(p) for p in outs[3:12]], axis=-1)
