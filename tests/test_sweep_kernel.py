@@ -126,3 +126,24 @@ def test_sweep_tiny_search_and_degraded(rng):
                                   interpret=True)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+
+
+def test_sweep_rect_tiles(rng):
+    """Rectangular kernel tiles (tile_h != tile_w) stay bit-exact."""
+    kw, kh, s_x, s_y = 5, 3, 6, 4
+    base, match, offsets = _mk(rng, 2, 2, 16, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, 16, s_x, s_y,
+                                       kw, kh, "abs")
+    # same 32x32 output via a (32, 16) rect grid
+    off2 = jnp.repeat(jnp.asarray(offsets), 1, 0)[:1]   # (1, 2, 2): 32-tall
+    # offsets must match per rect tile: use zero offsets on both engines
+    z4 = jnp.zeros((2, 2, 2), jnp.int32)
+    d0, v0, p0 = _tiled_search_patches(base, match, z4, 16, s_x, s_y,
+                                       kw, kh, "abs")
+    zr = jnp.zeros((1, 2, 2), jnp.int32)
+    d1, v1, p1 = pallas_sweep(base, match, zr, 32, s_x, s_y, kw, kh, "abs",
+                              want_patches=True, tile_w=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(p1)[np.asarray(v0)],
+                                  np.asarray(p0)[np.asarray(v0)])

@@ -136,9 +136,9 @@ _CENSUS_BITS = {(False, 3): 8, (False, 5): 24, (False, 9): 32,
                 (True, 3): 16}
 
 
-def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
-                       cost_type: str, want_patches: bool, precision: str,
-                       census_bits: int = 0):
+def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
+                       sx: int, sy: int, cost_type: str, want_patches: bool,
+                       precision: str, census_bits: int = 0):
     """Kernel factory. Extended search grid (ey, ex) in
     [0, sy_e) x [0, ex_pad): with patches the grid carries the ±1 parabola
     ring (sy_e = sy + 2, candidate disparity = off + (ex-1, ey-1)); without
@@ -146,8 +146,8 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
     ring = 1 if want_patches else 0
     sx_e, sy_e = sx + 2 * ring, sy + 2 * ring
     ex_pad = _pow2_at_least(sx_e)
-    lh = tile + kh - 1
-    lw = tile + kw - 1
+    lh = tile_h + kh - 1
+    lw = tile_w + kw - 1
     lh8 = _ceil8(lh)
     rh8 = _ceil8(lh8 + sy_e - 1)
     w_all = _ceil128(lw + sx_e - 1)
@@ -172,13 +172,13 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
         off_y = offs_ref[t, 1]
 
         # ---- DMA (aligned-down starts; remainder rolled in VMEM) ----------
-        bx = j * tile
+        bx = j * tile_w
         bx_al = (bx // 128) * 128
         brem = bx - bx_al
         ldma = pltpu.make_async_copy(
-            l_hbm.at[pl.ds(i * tile, lh8), pl.ds(bx_al, w_all + 128)], l_s,
+            l_hbm.at[pl.ds(i * tile_h, lh8), pl.ds(bx_al, w_all + 128)], l_s,
             sems.at[0])
-        ry = i * tile + off_y
+        ry = i * tile_h + off_y
         rx = bx + off_x
         ry_al = (ry // 8) * 8
         rx_al = (rx // 128) * 128
@@ -198,18 +198,18 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
         r_use = lax.slice(r_all, (0, 0), (rh8, w_all))
 
         # ---- banded box-sum matrices (in-kernel iotas; bf16-exact 0/1) ----
-        oi = lax.broadcasted_iota(jnp.int32, (tile, lh8), 0)
-        ii = lax.broadcasted_iota(jnp.int32, (tile, lh8), 1)
+        oi = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 0)
+        ii = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 1)
         b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.bfloat16)
-        ci = lax.broadcasted_iota(jnp.int32, (w_all, tile), 0)
-        co = lax.broadcasted_iota(jnp.int32, (w_all, tile), 1)
+        ci = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 0)
+        co = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 1)
         b_col = ((ci >= co) & (ci < co + kw)).astype(jnp.bfloat16)
 
-        best = jnp.full((tile, tile), _BIGF, jnp.float32)
-        worst = jnp.full((tile, tile), -_BIGF, jnp.float32)
-        argp = jnp.zeros((tile, tile), jnp.int32)
+        best = jnp.full((tile_h, tile_w), _BIGF, jnp.float32)
+        worst = jnp.full((tile_h, tile_w), -_BIGF, jnp.float32)
+        argp = jnp.zeros((tile_h, tile_w), jnp.int32)
 
-        exm3 = lax.broadcasted_iota(jnp.int32, (tile, ex_pad, tile), 1)
+        exm3 = lax.broadcasted_iota(jnp.int32, (tile_h, ex_pad, tile_w), 1)
         in_ex = (exm3 >= ex_lo) & (exm3 <= ex_hi)
 
         for ey in range(n_groups):
@@ -238,13 +238,13 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
             if cost_type == "census":    # integer costs: exact 1+2 passes
                 rs2d = _int_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
                                 census_bits)
-                rs = rs2d.reshape(tile, ex_pad, w_all)
+                rs = rs2d.reshape(tile_h, ex_pad, w_all)
                 cs = _int_dot(b_col, rs, (((2,), (0,)), ((), ())),
                               census_bits * kh, rhs=True)
             else:
                 rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
                                   precision)             # (tile, ex_pad*W)
-                rs = rs2d.reshape(tile, ex_pad, w_all)
+                rs = rs2d.reshape(tile_h, ex_pad, w_all)
                 cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
                                     precision)           # (tile, ex_pad, T)
             if want_patches:
@@ -271,7 +271,7 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
             eyk = ey_w[:, None, :]
             exk = ex_w[:, None, :]
             for r in (-1, 0, 1):
-                row = jnp.zeros((tile, ex_pad, tile), jnp.float32)
+                row = jnp.zeros((tile_h, ex_pad, tile_w), jnp.float32)
                 for g in range(n_groups):
                     slab = vol2[:, g * ex_pad:(g + 1) * ex_pad, :]
                     row = row + jnp.where(eyk + r == g, slab, 0.0)
@@ -285,11 +285,12 @@ def _make_sweep_kernel(tile: int, kw: int, kh: int, sx: int, sy: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "s_x", "s_y", "kw", "kh", "cost_type", "want_patches",
-    "precision", "census_window", "interpret"))
+    "precision", "census_window", "tile_w", "interpret"))
 def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                  kw: int, kh: int, cost_type: str = "abs",
                  want_patches: bool = True, precision: str = "split2",
-                 census_window: int = 5, interpret: bool = False):
+                 census_window: int = 5, tile_w: int = None,
+                 interpret: bool = False):
     """Fused per-tile disparity sweep, matching the contracts of
     ``stereo.pyramid_correlation._tiled_search_patches`` (``want_patches``)
     and ``_tiled_search`` (plain window).
@@ -342,35 +343,40 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
         match = jnp.asarray(match, jnp.float32)
         in_dtype = jnp.float32
         cost_kernel = cost_type
+    tile_h = tile
+    if tile_w is None:
+        tile_w = tile
     nty, ntx = offsets.shape[0], offsets.shape[1]
     kernel, lh8, rh8, w_all, ex_pad = _make_sweep_kernel(
-        tile, kw, kh, s_x, s_y, cost_kernel, want_patches, precision,
-        census_bits)
+        tile_h, tile_w, kw, kh, s_x, s_y, cost_kernel, want_patches,
+        precision, census_bits)
     ring = 1 if want_patches else 0
     sy_e = s_y + 2 * ring
 
     # Pad frames so worst-case (aligned-down + extended) DMAs stay in bounds.
-    need_bh = (nty - 1) * tile + lh8
-    need_bw = _ceil128((ntx - 1) * tile) + w_all + 128
+    need_bh = (nty - 1) * tile_h + lh8
+    need_bw = _ceil128((ntx - 1) * tile_w) + w_all + 128
     bpad = jnp.pad(base, ((0, max(need_bh - base.shape[0], 0)),
                           (0, max(need_bw - base.shape[1], 0))), mode="edge")
-    need_mh = (nty - 1) * tile + rh8 + 8 + s_y + sy_e
-    need_mw = _ceil128((ntx - 1) * tile) + w_all + 256
+    need_mh = (nty - 1) * tile_h + rh8 + 8 + s_y + sy_e
+    need_mw = _ceil128((ntx - 1) * tile_w) + w_all + 256
     mpad = jnp.pad(match, ((0, max(need_mh - match.shape[0], 0)),
                            (0, max(need_mw - match.shape[1], 0))), mode="edge")
     offs_flat = offsets.reshape(-1, 2).astype(jnp.int32)
 
-    out4 = pl.BlockSpec((1, 1, tile, tile), lambda i, j, offs: (i, j, 0, 0),
+    out4 = pl.BlockSpec((1, 1, tile_h, tile_w),
+                        lambda i, j, offs: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
-    f32t = jax.ShapeDtypeStruct((nty, ntx, tile, tile), jnp.float32)
-    i32t = jax.ShapeDtypeStruct((nty, ntx, tile, tile), jnp.int32)
+    f32t = jax.ShapeDtypeStruct((nty, ntx, tile_h, tile_w), jnp.float32)
+    i32t = jax.ShapeDtypeStruct((nty, ntx, tile_h, tile_w), jnp.int32)
     n_out = 12 if want_patches else 3
     scratch = [
         pltpu.VMEM((lh8, w_all + 128), in_dtype),
         pltpu.VMEM((rh8 + 8, w_all + 128), in_dtype),
     ]
     if want_patches:
-        scratch.append(pltpu.VMEM((tile, sy_e * ex_pad, tile), jnp.float32))
+        scratch.append(pltpu.VMEM((tile_h, sy_e * ex_pad, tile_w),
+                                  jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -396,15 +402,15 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     argp, best, worst = outs[0], outs[1], outs[2]
 
     def untile(a):
-        return a.transpose(0, 2, 1, 3).reshape(nty * tile, ntx * tile)
+        return a.transpose(0, 2, 1, 3).reshape(nty * tile_h, ntx * tile_w)
 
     argp, best, worst = untile(argp), untile(best), untile(worst)
     valid = best != worst
     ey = argp // ex_pad
     ex = argp - ey * ex_pad
     rel = jnp.stack([ex - ring, ey - ring], -1)
-    off_map = jnp.repeat(jnp.repeat(offsets.astype(jnp.int32), tile, 0),
-                         tile, 1)
+    off_map = jnp.repeat(jnp.repeat(offsets.astype(jnp.int32), tile_h, 0),
+                         tile_w, 1)
     # contract parity with _tiled_search(_patches): the in-window argbest is
     # zeroed where invalid BEFORE the per-tile offset is added (invalid
     # pixels carry their tile offset, which downstream masks ignore)
