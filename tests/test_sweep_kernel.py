@@ -147,3 +147,20 @@ def test_sweep_rect_tiles(rng):
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
     np.testing.assert_array_equal(np.asarray(p1)[np.asarray(v0)],
                                   np.asarray(p0)[np.asarray(v0)])
+
+
+def test_sweep_flagship_group_width(rng):
+    """The flagship refine-window shape (s_x=11 + parabola ring -> 13 real
+    planes against the pow2-16 storage stride) pins the unpadded-matmul /
+    padded-storage split: disp/valid/patches bit-exact vs the XLA engine."""
+    tile, kw, kh, s_x, s_y = 16, 7, 7, 11, 3
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, "abs")
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, "abs", want_patches=True,
+                              precision="split2", interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(p1)[np.asarray(v0)],
+                                  np.asarray(p0)[np.asarray(v0)])

@@ -34,7 +34,9 @@ invalidation via best == worst (``Correlation.cc:95-133``).
 Mosaic constraints shaped the code: DMA start offsets are aligned down to
 (8, 128) with the remainder rolled inside VMEM; VMEM slice extents are
 (8-sublane)-aligned (the disparity-row group width ``ex_pad`` is padded to
-a power of two >= 8); ``pltpu.roll`` takes non-negative shifts only.
+a multiple of 8 — see the measured note at its definition: packing the
+unpadded width is 2.4x slower); ``pltpu.roll`` takes non-negative shifts
+only.
 """
 
 from __future__ import annotations
@@ -60,13 +62,6 @@ def _ceil8(x: int) -> int:
 
 def _ceil128(x: int) -> int:
     return -(-x // 128) * 128
-
-
-def _pow2_at_least(x: int, lo: int = 8) -> int:
-    p = lo
-    while p < x:
-        p *= 2
-    return p
 
 
 def _split_dot(a_bf16, x, dims, precision: str):
@@ -145,7 +140,14 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
     it the grid is the plain window (candidate = off + (ex, ey))."""
     ring = 1 if want_patches else 0
     sx_e, sy_e = sx + 2 * ring, sy + 2 * ring
-    ex_pad = _pow2_at_least(sx_e)
+    # Group width: multiple of 8 so every op touching the ex dim (reshape,
+    # batched stage-2 matmul, reduces, vol2 slab stores) stays
+    # sublane-aligned. Packing only the sx_e REAL planes (e.g. 13 vs 16 at
+    # the flagship shape) measured 2.4x SLOWER (14.3 vs 6.1 ms same-day,
+    # 2026-08-21): Mosaic pays misalignment relayouts on every non-8-multiple
+    # sublane dim that dwarf the 19% matmul-FLOP saving. ceil8 (not pow2)
+    # keeps alignment while dropping the pure pow2 padding (33 -> 40, not 64).
+    ex_pad = max(_ceil8(sx_e), 8)
     lh = tile_h + kh - 1
     lw = tile_w + kw - 1
     lh8 = _ceil8(lh)

@@ -643,7 +643,7 @@ def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
     from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
     if _pallas_target_platform() != "tpu":
         return None
-    from visionworkbench_tpu.ops.sweep import _CENSUS_BITS, _pow2_at_least
+    from visionworkbench_tpu.ops.sweep import _CENSUS_BITS, _ceil8
     if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
         if (cost_type == TERNARY_CENSUS_TRANSFORM,
                 int(census_window)) not in _CENSUS_BITS:
@@ -657,7 +657,7 @@ def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
         return None                      # too small to amortize the grid
     lh8 = -(-(tile + kh - 1) // 8) * 8
     w_all = -(-(tile + kw - 1 + sx - 1) // 128) * 128
-    chunk_bytes = lh8 * _pow2_at_least(sx) * w_all * 4
+    chunk_bytes = lh8 * max(_ceil8(sx), 8) * w_all * 4
     if chunk_bytes > 8 * 1024 * 1024:
         return None                      # per-group chunk beyond VMEM budget
     from visionworkbench_tpu.ops.sweep import pallas_sweep
