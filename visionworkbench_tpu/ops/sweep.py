@@ -42,6 +42,7 @@ only.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -125,6 +126,37 @@ def _popcount(x):
     return lax.population_count(x)
 
 
+def _rollup(x, s: int, axis: int):
+    """y[i] = x[(i + s) mod n] along ``axis`` (pltpu.roll takes non-negative
+    DOWN shifts only, so up-shift s = roll by n - s)."""
+    if s == 0:
+        return x
+    return pltpu.roll(x, x.shape[axis] - s, axis)
+
+
+def _sliding_sum(x, k: int, axis: int):
+    """out[i] = sum_{j<k} x[i+j] along ``axis`` — binary roll-tree window
+    sum (2*ceil(log2 k) VPU roll+add passes; exact fp32, no MXU). Entries
+    past index n-k wrap cyclically; callers read only the valid prefix
+    (out rows + k - 1 <= n guarantees every read stays in range)."""
+    if k == 1:
+        return x
+    pows = [(1, x)]
+    p, a = 1, x
+    while p * 2 <= k:
+        a = a + _rollup(a, p, axis)
+        p *= 2
+        pows.append((p, a))
+    out, off, rem = None, 0, k
+    for p, a in reversed(pows):
+        if rem >= p:                      # each power appears <= once
+            term = _rollup(a, off, axis)
+            out = term if out is None else out + term
+            off += p
+            rem -= p
+    return out
+
+
 # max per-pixel hamming cost by (ternary?, window) — single-word census
 # variants only (window 7 census and most ternary windows pack 2 words).
 _CENSUS_BITS = {(False, 3): 8, (False, 5): 24, (False, 9): 32,
@@ -133,7 +165,8 @@ _CENSUS_BITS = {(False, 3): 8, (False, 5): 24, (False, 9): 32,
 
 def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
                        sx: int, sy: int, cost_type: str, want_patches: bool,
-                       precision: str, census_bits: int = 0):
+                       precision: str, census_bits: int = 0,
+                       boxsum: str = "matmul"):
     """Kernel factory. Extended search grid (ey, ex) in
     [0, sy_e) x [0, ex_pad): with patches the grid carries the ±1 parabola
     ring (sy_e = sy + 2, candidate disparity = off + (ex-1, ey-1)); without
@@ -200,12 +233,16 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
         r_use = lax.slice(r_all, (0, 0), (rh8, w_all))
 
         # ---- banded box-sum matrices (in-kernel iotas; bf16-exact 0/1) ----
-        oi = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 0)
-        ii = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 1)
-        b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.bfloat16)
-        ci = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 0)
-        co = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 1)
-        b_col = ((ci >= co) & (ci < co + kw)).astype(jnp.bfloat16)
+        rows_mm = boxsum in ("matmul", "roll_cols")
+        cols_mm = boxsum in ("matmul", "roll_rows")
+        if rows_mm:
+            oi = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 0)
+            ii = lax.broadcasted_iota(jnp.int32, (tile_h, lh8), 1)
+            b_row = ((ii >= oi) & (ii < oi + kh)).astype(jnp.bfloat16)
+        if cols_mm:
+            ci = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 0)
+            co = lax.broadcasted_iota(jnp.int32, (w_all, tile_w), 1)
+            b_col = ((ci >= co) & (ci < co + kw)).astype(jnp.bfloat16)
 
         best = jnp.full((tile_h, tile_w), _BIGF, jnp.float32)
         worst = jnp.full((tile_h, tile_w), -_BIGF, jnp.float32)
@@ -237,18 +274,31 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
             # ex_pad small ones serialized through Mosaic (the round-1
             # kernel's failure mode; measured ~10% MXU efficiency).
             chunk2d = jnp.concatenate(planes, axis=1)    # (lh8, ex_pad*W)
-            if cost_type == "census":    # integer costs: exact 1+2 passes
-                rs2d = _int_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
-                                census_bits)
-                rs = rs2d.reshape(tile_h, ex_pad, w_all)
-                cs = _int_dot(b_col, rs, (((2,), (0,)), ((), ())),
-                              census_bits * kh, rhs=True)
+            # Stage 1 (row sums): banded matmul or pure-VPU roll-tree
+            # window sums (exact fp32: box sums of <2^24-scaled costs are
+            # order-independent). See the measured A/B note at ``boxsum``.
+            if rows_mm:
+                if cost_type == "census":    # integer: exact 1-2 passes
+                    rs2d = _int_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
+                                    census_bits)
+                else:
+                    rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
+                                      precision)         # (tile, ex_pad*W)
             else:
-                rs2d = _split_dot(b_row, chunk2d, (((1,), (0,)), ((), ())),
-                                  precision)             # (tile, ex_pad*W)
-                rs = rs2d.reshape(tile_h, ex_pad, w_all)
-                cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
-                                    precision)           # (tile, ex_pad, T)
+                rows = _sliding_sum(chunk2d, kh, 0)       # (lh8, ex_pad*W)
+                rs2d = lax.slice(rows, (0, 0), (tile_h, ex_pad * w_all))
+            rs = rs2d.reshape(tile_h, ex_pad, w_all)
+            # Stage 2 (column sums)
+            if cols_mm:
+                if cost_type == "census":
+                    cs = _int_dot(b_col, rs, (((2,), (0,)), ((), ())),
+                                  census_bits * kh, rhs=True)
+                else:
+                    cs = _split_dot_rhs(rs, b_col, (((2,), (0,)), ((), ())),
+                                        precision)       # (tile, ex_pad, T)
+            else:
+                csw = _sliding_sum(rs, kw, 2)             # (tile, ex, W)
+                cs = lax.slice(csw, (0, 0, 0), (tile_h, ex_pad, tile_w))
             if want_patches:
                 vol2[:, ey * ex_pad:(ey + 1) * ex_pad, :] = cs
             if ey_lo <= ey <= ey_hi:
@@ -287,12 +337,12 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "s_x", "s_y", "kw", "kh", "cost_type", "want_patches",
-    "precision", "census_window", "tile_w", "interpret"))
+    "precision", "census_window", "tile_w", "interpret", "boxsum"))
 def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                  kw: int, kh: int, cost_type: str = "abs",
                  want_patches: bool = True, precision: str = "split2",
                  census_window: int = 5, tile_w: int = None,
-                 interpret: bool = False):
+                 interpret: bool = False, boxsum: str = None):
     """Fused per-tile disparity sweep, matching the contracts of
     ``stereo.pyramid_correlation._tiled_search_patches`` (``want_patches``)
     and ``_tiled_search`` (plain window).
@@ -349,9 +399,13 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     if tile_w is None:
         tile_w = tile
     nty, ntx = offsets.shape[0], offsets.shape[1]
+    if boxsum is None:
+        boxsum = os.environ.get("VWTPU_SWEEP_BOXSUM", "matmul")
+    if boxsum not in ("matmul", "roll"):
+        raise ArgumentErr("pallas_sweep boxsum must be 'matmul' or 'roll'")
     kernel, lh8, rh8, w_all, ex_pad = _make_sweep_kernel(
         tile_h, tile_w, kw, kh, s_x, s_y, cost_kernel, want_patches,
-        precision, census_bits)
+        precision, census_bits, boxsum)
     ring = 1 if want_patches else 0
     sy_e = s_y + 2 * ring
 
