@@ -149,6 +149,104 @@ def test_sweep_rect_tiles(rng):
                                   np.asarray(p0)[np.asarray(v0)])
 
 
+def test_sweep_ncc_matches_tiled_search(rng):
+    """NCC in-kernel (round 4): numerator + right-energy planes share one
+    lane-packed matmul; cost_modification sqrt(1/lE * 1/rE) multiplied in
+    like the XLA engine (CostFunctions.h:204-236). With precision='highest'
+    and quantized inputs every box sum is exact fp32, so disp/valid are
+    bit-exact vs the XLA max-metric engine; split2 is fp32-grade (argmax
+    flips only on near-ties)."""
+    tile, kw, kh, s_x, s_y = 16, 5, 5, 6, 3
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 0, True)
+    d0, v0 = _tiled_search(base, match, offsets, tile, s_x, s_y, kw, kh,
+                           "ncc", 5)
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y, kw, kh,
+                              "ncc", want_patches=False, precision="highest",
+                              interpret=True)
+    assert p1 is None
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    d2, v2, _ = pallas_sweep(base, match, offsets, tile, s_x, s_y, kw, kh,
+                             "ncc", want_patches=False, precision="split2",
+                             interpret=True)
+    agree = (np.asarray(d2) == np.asarray(d0)).all(-1)
+    assert agree.mean() > 0.995, agree.mean()
+
+
+def test_sweep_ncc_rejects_patches():
+    import pytest as _pytest
+    from visionworkbench_tpu.core.exceptions import ArgumentErr
+    z = jnp.zeros((32, 32), jnp.float32)
+    zo = jnp.zeros((1, 1, 2), jnp.int32)
+    with _pytest.raises(ArgumentErr):
+        pallas_sweep(z, z, zo, 16, 3, 3, 5, 5, "ncc", want_patches=True,
+                     interpret=True)
+
+
+@pytest.mark.parametrize("cost,window", [("census", 7), ("ternary_census", 5),
+                                         ("ternary_census", 7)])
+def test_sweep_multiword_census_bitexact(rng, cost, window):
+    """Two-word census variants in-kernel (round 4): per-word DMA slabs,
+    popcount-XOR summed over words. Bit-exact vs the XLA engine away from
+    tile borders (same full-frame-codes deviation as single-word)."""
+    tile, kw, kh, s_x, s_y = 16, 7, 5, 5, 3
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, cost, census_window=window)
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, cost, want_patches=True,
+                              census_window=window, interpret=True)
+    marg = window // 2
+    h, w = np.asarray(v0).shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    interior = (yy % tile >= marg) & (yy % tile < tile - marg) \
+        & (xx % tile >= marg) & (xx % tile < tile - marg)
+    np.testing.assert_array_equal(np.asarray(v1)[interior],
+                                  np.asarray(v0)[interior])
+    np.testing.assert_array_equal(np.asarray(d1)[interior],
+                                  np.asarray(d0)[interior])
+    both = interior & np.asarray(v0) & np.asarray(v1)
+    np.testing.assert_array_equal(np.asarray(p1)[both], np.asarray(p0)[both])
+
+
+def test_sweep_wide_search_nonpow2_stride(rng):
+    """s_x >= 15 exercises the ceil8-not-pow2 group stride class (s_x=21 +
+    ring -> sx_e=23 -> ex_pad=24, where ceil8 != pow2): vol2 slab indexing
+    and argp decode must stay bit-exact (advisor round-3 medium finding —
+    the other pinned shapes all land on ex_pad in {8, 16})."""
+    tile, kw, kh, s_x, s_y = 16, 5, 3, 21, 2
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, "abs")
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, "abs", want_patches=True,
+                              precision="split2", interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(p1)[np.asarray(v0)],
+                                  np.asarray(p0)[np.asarray(v0)])
+
+
+@pytest.mark.parametrize("boxsum", ["roll", "roll_cols", "roll_rows"])
+def test_sweep_roll_boxsum_quantized(rng, boxsum):
+    """The pure-VPU roll-tree box-sum path (and the two mixed modes) on
+    8-bit-quantized inputs: integer-scaled window sums below 2^24 are
+    order-independent in fp32, so disp/valid/patches are bit-exact vs the
+    XLA engine regardless of the roll tree's summation order (advisor
+    round-3 low finding: the path had zero coverage)."""
+    tile, kw, kh, s_x, s_y = 16, 5, 3, 6, 4
+    base, match, offsets = _mk(rng, 2, 2, tile, kw, kh, s_x, s_y, 1, True)
+    d0, v0, p0 = _tiled_search_patches(base, match, offsets, tile, s_x, s_y,
+                                       kw, kh, "abs")
+    d1, v1, p1 = pallas_sweep(base, match, offsets, tile, s_x, s_y,
+                              kw, kh, "abs", want_patches=True,
+                              boxsum=boxsum, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(p1)[np.asarray(v0)],
+                                  np.asarray(p0)[np.asarray(v0)])
+
+
 def test_sweep_flagship_group_width(rng):
     """The flagship refine-window shape (s_x=11 + parabola ring -> 13 real
     planes against the pow2-16 storage stride) pins the unpadded-matmul /

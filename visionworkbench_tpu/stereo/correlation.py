@@ -643,12 +643,13 @@ def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
     from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
     if _pallas_target_platform() != "tpu":
         return None
-    from visionworkbench_tpu.ops.sweep import _CENSUS_BITS, _ceil8
+    from visionworkbench_tpu.ops.sweep import _CENSUS_INFO, _ceil8
     if cost_type in (CENSUS_TRANSFORM, TERNARY_CENSUS_TRANSFORM):
         if (cost_type == TERNARY_CENSUS_TRANSFORM,
-                int(census_window)) not in _CENSUS_BITS:
+                int(census_window)) not in _CENSUS_INFO:
             return None
-    elif cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE):
+    elif cost_type not in (ABSOLUTE_DIFFERENCE, SQUARED_DIFFERENCE,
+                           CROSS_CORRELATION):
         return None
     h, w = left.shape
     out_h, out_w = h - kh + 1, w - kw + 1
@@ -658,6 +659,8 @@ def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
     lh8 = -(-(tile + kh - 1) // 8) * 8
     w_all = -(-(tile + kw - 1 + sx - 1) // 128) * 128
     chunk_bytes = lh8 * max(_ceil8(sx), 8) * w_all * 4
+    if cost_type == CROSS_CORRELATION:
+        chunk_bytes *= 2                 # energy planes ride as extra lanes
     if chunk_bytes > 8 * 1024 * 1024:
         return None                      # per-group chunk beyond VMEM budget
     from visionworkbench_tpu.ops.sweep import pallas_sweep

@@ -363,18 +363,21 @@ def pyramid_correlate(left, right, search_region: BBox2i,
     # 6.1 ms vs the XLA engine's 9.2 ms on the flagship stage (same-day
     # A/B; fp32-grade two-term bf16 split, 99.998% argmin agreement,
     # bit-exact for 8-bit-quantized inputs). 'pallas' forces it; refine
-    # levels and census/NCC stay on the XLA engine.
+    # levels stay on the XLA engine (sub-ms sweeps vs per-shape remote
+    # Mosaic compiles). All BM costs qualify since round 4 (abs/sq/ncc +
+    # every census variant).
     if engine not in ("auto", "xla", "pallas"):
         raise ArgumentErr(f"unknown engine {engine!r}")
     pallas_ok = (engine != "xla" and not sgm_mode
                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
-                                   "ternary_census")
+                                   "ternary_census", "ncc")
                  and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1")
     if pallas_ok and cost_type in ("census", "ternary_census"):
-        # in-kernel census needs single-word codes (exact integer box sums)
-        from visionworkbench_tpu.ops.sweep import _CENSUS_BITS
+        # all reference census variants are in-kernel (multi-word codes
+        # ride extra DMA slabs; integer box sums stay exact)
+        from visionworkbench_tpu.ops.sweep import _CENSUS_INFO
         pallas_ok = ((cost_type == "ternary_census",
-                      int(census_window)) in _CENSUS_BITS)
+                      int(census_window)) in _CENSUS_INFO)
     if pallas_ok and engine == "auto":
         from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
         pallas_ok = _pallas_target_platform() == "tpu"
