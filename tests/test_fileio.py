@@ -180,3 +180,71 @@ def test_exr_uint_and_bigendian_exif_edgecases(tmp_path):
     tiff = b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8) + ifd
     tags = parse_tiff_exif(tiff)
     assert tags["Make"] == "BE"
+
+
+def test_raw_driver_roundtrip_and_regions(tmp_path, rng):
+    """Headerless raw driver (ref DiskImageResourceRaw.cc:1-323): layout-
+    parameterized round-trip, strided region reads, block writes, SPOT5
+    .DIM factory."""
+    from visionworkbench_tpu.fileio.raw import (
+        RawFormat, RawImageResource, open_spot5, read_raw, write_raw,
+    )
+
+    img = (rng.random((37, 53)) * 255).astype(np.uint16)
+    p = str(tmp_path / "img.raw")
+    fmt = write_raw(p, img)
+    assert (fmt.rows, fmt.cols, fmt.dtype) == (37, 53, np.dtype(np.uint16))
+    np.testing.assert_array_equal(read_raw(p, fmt), img)
+    # strided sub-region read touches only the window
+    bb = BBox2i(5, 7, 20, 11)
+    np.testing.assert_array_equal(read_raw(p, fmt, bb), img[7:18, 5:25])
+    # block write into an existing file
+    patch = (rng.random((4, 6)) * 255).astype(np.uint16)
+    with RawImageResource(p, fmt, "r+") as r:
+        r.write(patch, BBox2i(10, 20, 6, 4))
+    img[20:24, 10:16] = patch
+    np.testing.assert_array_equal(read_raw(p, fmt), img)
+    # out-of-bounds read rejected
+    from visionworkbench_tpu.core.exceptions import IOErr
+    with pytest.raises(IOErr):
+        read_raw(p, fmt, BBox2i(50, 0, 10, 10))
+
+    # SPOT5 factory: IMAGERY.BIL + METADATA.DIM sidecar
+    d = tmp_path / "back" / "SEGMT01"
+    d.mkdir(parents=True)
+    u8 = (rng.random((6, 9)) * 255).astype(np.uint8)
+    (d / "IMAGERY.BIL").write_bytes(u8.tobytes())
+    (d / "METADATA.DIM").write_text(
+        "<Raster_Dimensions>\n<NCOLS>9</NCOLS>\n<NROWS>6</NROWS>\n"
+        "<NBANDS>1</NBANDS>\n</Raster_Dimensions>\n")
+    with open_spot5(str(d / "IMAGERY.BIL")) as r:
+        np.testing.assert_array_equal(r.read(), u8)
+
+
+def test_autonormalize_and_opacity(rng):
+    """AutoNormalize overloads (AutoNormalize.h:1-90) + ImageOpacity
+    queries (ImageOpacity.h:33-76)."""
+    import jax.numpy as jnp
+    from visionworkbench_tpu.image import is_opaque, is_transparent, normalize
+
+    img = np.float32([[2.0, 4.0], [6.0, 10.0]])
+    # auto range -> [0, 1)
+    out = np.asarray(normalize(img))
+    np.testing.assert_allclose(out, (img - 2.0) / 8.0)
+    # masked auto range skips invalid pixels for range detection
+    v = np.array([[True, True], [True, False]])
+    out = np.asarray(normalize(img, valid=v))
+    np.testing.assert_allclose(out, (img - 2.0) / 4.0)
+    # degenerate range maps to new_low
+    np.testing.assert_allclose(np.asarray(normalize(np.ones((3, 3)))), 0.0)
+
+    gray = jnp.ones((4, 4))
+    assert is_opaque(gray) and not is_transparent(gray)      # no alpha
+    rgba = jnp.ones((4, 4, 4))
+    assert is_opaque(rgba)
+    assert is_transparent(rgba.at[..., 3].set(0.0))
+    assert not is_opaque(rgba.at[0, 0, 3].set(0.5))
+    assert not is_transparent(rgba.at[0, 0, 3].set(0.5))
+    # MaskedImage convention: explicit valid plane is the alpha
+    assert is_opaque(gray, valid=jnp.ones((4, 4), bool))
+    assert is_transparent(gray, valid=jnp.zeros((4, 4), bool))

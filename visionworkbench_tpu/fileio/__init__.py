@@ -11,3 +11,6 @@ from visionworkbench_tpu.fileio.tiled_writer import block_write_image
 from visionworkbench_tpu.fileio.memory import (
     decode_image, encode_image, parse_pds_label, read_pds, write_pds,
 )
+from visionworkbench_tpu.fileio.raw import (
+    RawFormat, RawImageResource, open_spot5, read_raw, write_raw,
+)

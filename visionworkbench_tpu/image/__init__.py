@@ -26,7 +26,10 @@ from visionworkbench_tpu.image.manipulation import (
     rotate_90_ccw, rotate_90_cw, rotate_180, select_channel, select_plane,
     subsample, transpose, upsample,
 )
-from visionworkbench_tpu.image.algorithms import clamp, fill, normalize, threshold
+from visionworkbench_tpu.image.algorithms import (
+    clamp, fill, is_opaque, is_transparent, nonzero_data_bounding_box,
+    normalize, threshold,
+)
 from visionworkbench_tpu.image.statistics import (
     cdf_quantile, histogram, masked_max, masked_mean, masked_min, masked_stddev,
     max_pixel_value, mean_pixel_value, min_max_pixel_values, min_pixel_value,

@@ -13,10 +13,24 @@ def clamp(image, low=0.0, high=1.0):
     return jnp.clip(image, low, high)
 
 
-def normalize(image, new_low=0.0, new_high=1.0, old_low=None, old_high=None):
-    """Rescale [old_low, old_high] -> [new_low, new_high]; old range defaults to
-    the image min/max (ref ``normalize``, Algorithms.h:110-160)."""
+def normalize(image, new_low=0.0, new_high=1.0, old_low=None, old_high=None,
+              valid=None):
+    """Rescale [old_low, old_high] -> [new_low, new_high]; old range defaults
+    to the image min/max over all channels — the reference's auto-detecting
+    ``normalize`` overloads (ref ``AutoNormalize.h:1-90``, which call
+    ``min_max_channel_values``; explicit-range form: Algorithms.h:110-160).
+    ``valid`` restricts the auto range to a boolean mask, matching the
+    PixelMask behavior of ``min_max_channel_values`` (invalid pixels are
+    skipped when detecting the range but still rescaled)."""
     image = jnp.asarray(image)
+    if valid is not None and (old_low is None or old_high is None):
+        v = jnp.asarray(valid).astype(bool)
+        if v.ndim < image.ndim:
+            v = v[..., None]
+        if old_low is None:
+            old_low = jnp.min(jnp.where(v, image, jnp.inf))
+        if old_high is None:
+            old_high = jnp.max(jnp.where(v, image, -jnp.inf))
     if old_low is None:
         old_low = jnp.min(image)
     if old_high is None:
@@ -41,10 +55,45 @@ def fill(shape_or_image, value, dtype=jnp.float32):
     return jnp.full(shape_or_image, value, dtype)
 
 
+def _alpha_of(image, valid=None):
+    """Alpha plane of an image: an explicit ``valid`` mask (MaskedImage
+    convention), else the last channel of an even-channel array (GrayA /
+    RGBA), else None (no alpha => opaque, like ``PixelHasAlpha``)."""
+    if valid is not None:
+        return jnp.asarray(valid).astype(jnp.float32)
+    image = jnp.asarray(image)
+    if image.ndim == 3 and image.shape[-1] in (2, 4):
+        return image[..., -1]
+    return None
+
+
+def is_opaque(image, valid=None) -> bool:
+    """True iff the image is entirely opaque (ref ``is_opaque``,
+    ``ImageOpacity.h:33-52``: alpha-less pixel types are opaque by
+    definition; otherwise every pixel's alpha must be at maximum). Host-side
+    query — concretizes, like the reference's pixel loop."""
+    import numpy as np
+    a = _alpha_of(image, valid)
+    if a is None:
+        return True
+    return bool(np.all(np.asarray(a) >= 1.0))
+
+
+def is_transparent(image, valid=None) -> bool:
+    """True iff the image is entirely transparent (ref ``is_transparent``,
+    ``ImageOpacity.h:54-76``: alpha-less pixel types are never
+    transparent)."""
+    import numpy as np
+    a = _alpha_of(image, valid)
+    if a is None:
+        return False
+    return bool(np.all(np.asarray(a) <= 0.0))
+
+
 def nonzero_data_bounding_box(image, nodata=0.0):
     """Tight box around pixels != nodata (ref ``nonzero_data_bounding_box``,
-    AlgorithmFunctions.h). Host-side: concretizes. Returns a BBox2i (empty if
-    no valid data)."""
+    ``ImageOpacity.h:78-123``). Host-side: concretizes. Returns a BBox2i
+    (empty if no valid data)."""
     import numpy as np
     from visionworkbench_tpu.math.bbox import BBox2i
     arr = np.asarray(image)
