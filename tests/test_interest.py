@@ -266,3 +266,87 @@ def test_dog_detects_blob_scale(rng):
         assert d[k] < 2.0, f"blob center missed by {d[k]:.2f}"
         # DoG responds strongest around sigma_blob (characteristic scale)
         assert 0.4 * sig < sc[k] < 2.5 * sig, f"scale {sc[k]} for blob {sig}"
+
+
+def test_hamming_metric_matches_binary_descriptors(rng):
+    """Hamming metric (ref HammingMetric, Matcher.cc:47-103): byte-valued
+    descriptors match by popcount-XOR distance; the bit-unpacked matmul
+    formulation must equal a direct numpy popcount computation."""
+    import jax.numpy as jnp
+    from visionworkbench_tpu.interest.matcher import (
+        _pairwise_hamming, match_points,
+    )
+    from visionworkbench_tpu.interest.types import InterestPoints
+
+    n, d = 24, 16
+    b1 = rng.integers(0, 256, (n, d)).astype(np.float32)
+    b2 = rng.integers(0, 256, (n, d)).astype(np.float32)
+    got = np.asarray(_pairwise_hamming(jnp.asarray(b1), jnp.asarray(b2)))
+    a = b1.astype(np.uint8)[:, None, :]
+    b = b2.astype(np.uint8)[None, :, :]
+    want = np.unpackbits(a ^ b, axis=2).sum(axis=2)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    def mk(desc):
+        k = desc.shape[0]
+        return InterestPoints(
+            x=jnp.arange(k, dtype=jnp.float32), y=jnp.zeros(k),
+            scale=jnp.ones(k), orientation=jnp.zeros(k),
+            interest=jnp.ones(k), valid=jnp.ones(k, bool),
+            descriptor=jnp.asarray(desc))
+
+    # identical descriptors (dist 0) against random: every point matches
+    # itself with a clean ratio margin
+    m = match_points(mk(b1), mk(np.concatenate([b1[:1] * 0 + 7, b1[1:]])),
+                     ratio=0.8, metric="hamming")
+    ok = np.asarray(m.valid)
+    nn = np.asarray(m.index2)
+    assert (nn[ok] == np.arange(n)[ok]).all()
+    assert ok[1:].all()
+
+
+def test_match_constraints(rng):
+    """Scale-orientation and position constraints (ref Matcher.h:113-149,
+    check_constraint :262-277): applied to the nearest neighbor, rejecting
+    matches outside the windows."""
+    import jax.numpy as jnp
+    from visionworkbench_tpu.interest.matcher import (
+        PositionConstraint, ScaleOrientationConstraint, match_points,
+    )
+    from visionworkbench_tpu.interest.types import InterestPoints
+
+    n, d = 16, 8
+    desc = rng.random((n, d)).astype(np.float32)
+
+    def mk(x, scale, ori):
+        return InterestPoints(
+            x=jnp.asarray(x, jnp.float32), y=jnp.zeros(n),
+            scale=jnp.asarray(scale, jnp.float32),
+            orientation=jnp.asarray(ori, jnp.float32),
+            interest=jnp.ones(n), valid=jnp.ones(n, bool),
+            descriptor=jnp.asarray(desc))
+
+    x = np.arange(n, dtype=np.float32)
+    p1 = mk(x, np.ones(n), np.zeros(n))
+    # p2: same descriptors; half the points displaced by 50 px, half by 2;
+    # scales 1.0 except two wild ones; orientations small except one.
+    x2 = x + np.where(x < 8, 2.0, 50.0)
+    scale2 = np.ones(n); scale2[3] = 2.0
+    ori2 = np.zeros(n); ori2[5] = 1.0
+    p2 = mk(x2, scale2, ori2)
+
+    base = match_points(p1, p2, ratio=0.9)
+    assert np.asarray(base.valid).all()
+
+    mpos = match_points(p1, p2, ratio=0.9,
+                        constraint=PositionConstraint(-10, 10, -10, 10))
+    vpos = np.asarray(mpos.valid)
+    assert vpos[:8].all() and not vpos[8:].any()
+
+    mso = match_points(p1, p2, ratio=0.9,
+                       constraint=ScaleOrientationConstraint())
+    vso = np.asarray(mso.valid)
+    # sr = p1.scale/p2.scale: point 3 ratio 0.5 (reject); point 5 ori
+    # delta -1.0 (reject); everything else passes
+    expect = np.ones(n, bool); expect[3] = False; expect[5] = False
+    np.testing.assert_array_equal(vso, expect)
