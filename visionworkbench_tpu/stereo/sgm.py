@@ -617,18 +617,32 @@ def _tie_smooth_select(acc, allowed):
         for ax in (2, 3):
             cnt = af + _sh3(af, 1, ax) + _sh3(af, -1, ax)
             inv[ax] = 1.0 / jnp.maximum(cnt, 1.0)
-        sel, argsel = acc, arg0
-        done = cnt0 <= 1
-        v = acc
+
+        def iter_body(ax):
+            def do(carry):
+                v, sel, argsel, done = carry
+                v2 = _masked_mean3(v, af, inv[ax], axis=ax)
+                _, cnt_k, arg_k = stats(v2)
+                upd = ~done
+                sel = jnp.where(upd[..., None, None], v2, sel)
+                argsel = jnp.where(upd, arg_k, argsel)
+                return v2, sel, argsel, done | (cnt_k <= 1)
+            return do
+
+        # Each of the 6 reference iterations (5 horizontal + 1 vertical,
+        # SGM.cc:1240-1262) runs under its own lax.cond on "any pixel still
+        # tied": the reference's per-pixel while loop exits as soon as a
+        # pixel's min is unique, so once EVERY pixel resolved the remaining
+        # volume passes are pure waste (round-4; the whole-volume
+        # while_loop formulation was refuted in round 3 — carry rewrite
+        # cost, docs/roofline.md — but a cond chain skips without looping
+        # machinery).
+        carry = (acc, acc, arg0, cnt0 <= 1)
         for k in range(1, 7):
             ax = 3 if k <= 5 else 2
-            v = _masked_mean3(v, af, inv[ax], axis=ax)
-            _, cnt_k, arg_k = stats(v)
-            upd = ~done
-            sel = jnp.where(upd[..., None, None], v, sel)
-            argsel = jnp.where(upd, arg_k, argsel)
-            done = done | (cnt_k <= 1)
-        return sel, argsel
+            carry = lax.cond(jnp.any(~carry[3]), iter_body(ax),
+                             lambda c: c, carry)
+        return carry[1], carry[2]
 
     return lax.cond(jnp.any(cnt0 > 1), smooth, no_ties, None)
 
