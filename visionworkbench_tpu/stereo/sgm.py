@@ -629,19 +629,27 @@ def _tie_smooth_select(acc, allowed):
                 return v2, sel, argsel, done | (cnt_k <= 1)
             return do
 
-        # Each of the 6 reference iterations (5 horizontal + 1 vertical,
-        # SGM.cc:1240-1262) runs under its own lax.cond on "any pixel still
-        # tied": the reference's per-pixel while loop exits as soon as a
-        # pixel's min is unique, so once EVERY pixel resolved the remaining
-        # volume passes are pure waste (round-4; the whole-volume
-        # while_loop formulation was refuted in round 3 — carry rewrite
-        # cost, docs/roofline.md — but a cond chain skips without looping
-        # machinery).
+        # Per-iteration early-out (A/B knob, round 4): each of the 6
+        # reference iterations (5 horizontal + 1 vertical, SGM.cc:1240-1262)
+        # can run under its own lax.cond on "any pixel still tied" — the
+        # reference's per-pixel while exits as soon as a pixel's min is
+        # unique, so once EVERY pixel resolved the remaining volume passes
+        # are waste. MEASURED WORSE on the bench scene (75.4 vs 83.4 Mp/s
+        # config 6): the scene's ties never fully resolve, so every cond
+        # fires AND pays a carry materialization at each cond boundary —
+        # same failure class as the refuted while_loop (docs/roofline.md).
+        # Default stays the unrolled cascade; VWTPU_SGM_ITER_COND=1 keeps
+        # the variant measurable.
         carry = (acc, acc, arg0, cnt0 <= 1)
-        for k in range(1, 7):
-            ax = 3 if k <= 5 else 2
-            carry = lax.cond(jnp.any(~carry[3]), iter_body(ax),
-                             lambda c: c, carry)
+        if os.environ.get("VWTPU_SGM_ITER_COND", "0") == "1":
+            for k in range(1, 7):
+                ax = 3 if k <= 5 else 2
+                carry = lax.cond(jnp.any(~carry[3]), iter_body(ax),
+                                 lambda c: c, carry)
+        else:
+            for k in range(1, 7):
+                ax = 3 if k <= 5 else 2
+                carry = iter_body(ax)(carry)
         return carry[1], carry[2]
 
     return lax.cond(jnp.any(cnt0 > 1), smooth, no_ties, None)
