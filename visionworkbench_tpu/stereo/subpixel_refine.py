@@ -12,6 +12,7 @@ per-pixel 2x2 / 6x6 normal equations solve in closed form / batched
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -352,13 +353,28 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
     n_em = max(em_iters, 1)
     use_em = em_iters > 0
 
+    # Re-warp policy (round 4): the per-outer-iteration re-warp costs one
+    # 1-Mpx gather per iteration (measured 7.1 ms each at 1024^2 — 3 of the
+    # EM config's ~80 ms device frame, tools_profile_config --config 7).
+    # fold0 = round(frac0) is identically 0, so iteration 1's gather is by
+    # dint alone; warp-once mode reuses that G for every iteration and lets
+    # later offsets ride the ±1 stencil clip instead (production seeds come
+    # from the integer correlator within ~0.5 px, so |d2| rarely approaches
+    # 1; pixels drifting further clip -> rising residual -> early stop,
+    # the same degradation class as the documented locally-constant-warp
+    # approximation; accuracy pinned by tests/test_subpixel_refine.py).
+    # VWTPU_EM_REWARP=1 restores the reference-faithful re-warp.
+    rewarp = os.environ.get("VWTPU_EM_REWARP", "0") == "1"
+    fold0_static = jnp.round(frac0).astype(jnp.int32)
+    G0 = None if rewarp else warp_once(fold0_static)
+
     def outer_body(it, carry):
         d, fold, prev_sum, frozen = carry
         # abort check at iteration top (Correlate.cc:212-217)
         aborted = jnp.sqrt(d[2] * d[2] + d[5] * d[5]) > max_trans
         active = ~frozen & ~aborted
 
-        G = warp_once(fold)
+        G = warp_once(fold) if rewarp else G0
         tfx = d[2] + frac0[..., 0] - fold[..., 0].astype(jnp.float32)
         tfy = d[5] + frac0[..., 1] - fold[..., 1].astype(jnp.float32)
 
@@ -425,7 +441,6 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
                     sample = sample + wy_ * row_acc
 
                 I_e = sample - L_row
-                sum_ie = sum_ie + jnp.sum(I_e, 0)
                 if use_em:
                     delta_x = (d_em[0][None] * iiv
                                + (d_em[1] * jj + d_em[2])[None])
@@ -448,20 +463,43 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
                     gamma_noise = jnp.where(denom > 0,
                                             noise_prob * w_noise[None] / safe,
                                             0.0)
-                    mean_noise_tmp = mean_noise_tmp + jnp.sum(
-                        sample * gamma_noise, 0)
-                    sg_plane = sg_plane + jnp.sum(gamma_plane, 0)
-                    sg_noise = sg_noise + jnp.sum(gamma_noise, 0)
                     weight = gamma_plane * w_row
                 else:
                     weight = w_row
 
                 Ixw = weight * Ix
                 Iyw = weight * Iy
-                bx0 = jnp.sum(Ixw * I_e, 0)          # sum Ixw * I_e
-                bx1 = jnp.sum(iiv * Ixw * I_e, 0)    # sum ii * Ixw * I_e
-                by0 = jnp.sum(Iyw * I_e, 0)
-                by1 = jnp.sum(iiv * Iyw * I_e, 0)
+                P1 = Ixw * Ix
+                P2 = Iyw * Iy
+                P3 = Ixw * Iy
+                ii2 = iiv * iiv
+                # All tap-axis reductions of this window row in ONE
+                # variadic lax.reduce: 13 moment sums (+3 EM stats) share a
+                # single traversal of the shared producers instead of 13-16
+                # separate multiply_reduce fusions, each re-executing its
+                # producer chain (measured 27 ms of the 64 ms EM frame at
+                # 1024^2, tools_profile_config --config 7 — the same
+                # one-volume-read trick as SGM's fused WTA stats).
+                ops_r = [I_e,
+                         Ixw * I_e, iiv * (Ixw * I_e),
+                         Iyw * I_e, iiv * (Iyw * I_e),
+                         P1, iiv * P1, ii2 * P1,
+                         P2, iiv * P2, ii2 * P2,
+                         P3, iiv * P3, ii2 * P3]
+                if use_em:
+                    ops_r += [sample * gamma_noise, gamma_plane, gamma_noise]
+                red = lax.reduce(
+                    tuple(ops_r), tuple(jnp.float32(0.0) for _ in ops_r),
+                    lambda a_, b_: tuple(x + y for x, y in zip(a_, b_)),
+                    (0,))
+                (sie, bx0, bx1, by0, by1,
+                 s0_1, s1_1, s2_1, s0_2, s1_2, s2_2,
+                 s0_3, s1_3, s2_3) = red[:14]
+                sum_ie = sum_ie + sie
+                if use_em:
+                    mean_noise_tmp = mean_noise_tmp + red[14]
+                    sg_plane = sg_plane + red[15]
+                    sg_noise = sg_noise + red[16]
                 b[0] = b[0] - bx1
                 b[1] = b[1] - jj * bx0
                 b[2] = b[2] - bx0
@@ -470,30 +508,26 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
                 b[5] = b[5] - by0
                 # three moments (1, ii, ii^2) per gradient product; the jj
                 # factors are row constants
-                for (base, prod) in ((0, Ixw * Ix), (3, Iyw * Iy),
-                                     (None, Ixw * Iy)):
-                    s0 = jnp.sum(prod, 0)
-                    s1 = jnp.sum(iiv * prod, 0)
-                    s2 = jnp.sum(iiv * iiv * prod, 0)
-                    if base is not None:   # UL (base 0) / LR (base 3) blocks
-                        A[(base, base)] = A[(base, base)] + s2
-                        A[(base, base + 1)] = A[(base, base + 1)] + jj * s1
-                        A[(base, base + 2)] = A[(base, base + 2)] + s1
-                        A[(base + 1, base + 1)] = (A[(base + 1, base + 1)]
-                                                   + jj * jj * s0)
-                        A[(base + 1, base + 2)] = (A[(base + 1, base + 2)]
-                                                   + jj * s0)
-                        A[(base + 2, base + 2)] = A[(base + 2, base + 2)] + s0
-                    else:                  # full UR block (IxIy)
-                        A[(0, 3)] = A[(0, 3)] + s2
-                        A[(0, 4)] = A[(0, 4)] + jj * s1
-                        A[(0, 5)] = A[(0, 5)] + s1
-                        A[(1, 3)] = A[(1, 3)] + jj * s1
-                        A[(1, 4)] = A[(1, 4)] + jj * jj * s0
-                        A[(1, 5)] = A[(1, 5)] + jj * s0
-                        A[(2, 3)] = A[(2, 3)] + s1
-                        A[(2, 4)] = A[(2, 4)] + jj * s0
-                        A[(2, 5)] = A[(2, 5)] + s0
+                for (base, (s0, s1, s2)) in ((0, (s0_1, s1_1, s2_1)),
+                                             (3, (s0_2, s1_2, s2_2))):
+                    A[(base, base)] = A[(base, base)] + s2
+                    A[(base, base + 1)] = A[(base, base + 1)] + jj * s1
+                    A[(base, base + 2)] = A[(base, base + 2)] + s1
+                    A[(base + 1, base + 1)] = (A[(base + 1, base + 1)]
+                                               + jj * jj * s0)
+                    A[(base + 1, base + 2)] = (A[(base + 1, base + 2)]
+                                               + jj * s0)
+                    A[(base + 2, base + 2)] = A[(base + 2, base + 2)] + s0
+                s0, s1, s2 = s0_3, s1_3, s2_3   # full UR block (IxIy)
+                A[(0, 3)] = A[(0, 3)] + s2
+                A[(0, 4)] = A[(0, 4)] + jj * s1
+                A[(0, 5)] = A[(0, 5)] + s1
+                A[(1, 3)] = A[(1, 3)] + jj * s1
+                A[(1, 4)] = A[(1, 4)] + jj * jj * s0
+                A[(1, 5)] = A[(1, 5)] + jj * s0
+                A[(2, 3)] = A[(2, 3)] + s1
+                A[(2, 4)] = A[(2, 4)] + jj * s0
+                A[(2, 5)] = A[(2, 5)] + s0
 
             lhs_sol = _solve6(A, b)
             if use_em:
@@ -514,11 +548,15 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
         d_out = [jnp.where(upd, d_new[k], d[k]) for k in range(6)]
         new_frozen = frozen | aborted | (upd & stop)
         new_prev = jnp.where(upd & ~stop, curr_sum, prev_sum)
-        # fold integer translation into the warp field for the next iteration
-        nfx = jnp.round(d_out[2] + frac0[..., 0]).astype(jnp.int32)
-        nfy = jnp.round(d_out[5] + frac0[..., 1]).astype(jnp.int32)
-        new_fold = jnp.where(upd[..., None],
-                             jnp.stack([nfx, nfy], -1), fold)
+        if rewarp:
+            # fold integer translation into the warp field for the next
+            # iteration (reference-faithful re-warp mode)
+            nfx = jnp.round(d_out[2] + frac0[..., 0]).astype(jnp.int32)
+            nfy = jnp.round(d_out[5] + frac0[..., 1]).astype(jnp.int32)
+            new_fold = jnp.where(upd[..., None],
+                                 jnp.stack([nfx, nfy], -1), fold)
+        else:
+            new_fold = fold   # warp-once: G is fixed, offsets ride the clip
         return (tuple(d_out), new_fold, new_prev, new_frozen)
 
     d0 = (jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32),
