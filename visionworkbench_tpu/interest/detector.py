@@ -234,7 +234,7 @@ def _dog_edge_ok(plane, edge_ratio: float):
 
 def detect_points_dog(img, threshold: float = 0.015, edge_ratio: float = 10.0,
                       scales: int = 3, octaves: int = 4, sigma0: float = 1.6,
-                      max_points: int = 1000) -> InterestPoints:
+                      max_points: int = 1000, return_blocks: bool = False):
     """Difference-of-Gaussians scale-space detector — the TPU-native
     SIFT-class pipeline standing in for the reference's OpenCV SIFT bridge
     (``ipfind.cc:61-229``, ``OpenCvDetector.cc``; ipfind's DEFAULT operator).
@@ -250,12 +250,14 @@ def detect_points_dog(img, threshold: float = 0.015, edge_ratio: float = 10.0,
     img = jnp.asarray(img, jnp.float32)
     per_level = max(max_points // max(octaves * scales, 1), 1)
     sets = []
+    blocks = []     # (octave_base, octave_scale, slot_start, slot_end)
     base = img
     octave_scale = 1.0
     for o in range(octaves):
         bh, bw = base.shape
         if min(bh, bw) < 16:
             break
+        blocks.append([base, octave_scale, len(sets) * per_level, None])
         sigmas = [sigma0 * 2.0 ** (s / scales) for s in range(scales + 3)]
         # Incremental Gaussian ladder (Lowe 2004 sec. 3): each step blurs the
         # PREVIOUS level by the differential sigma sqrt(s_i^2 - s_{i-1}^2)
@@ -312,13 +314,17 @@ def detect_points_dog(img, threshold: float = 0.015, edge_ratio: float = 10.0,
                     xs * octave_scale, ys * octave_scale,
                     jnp.where(valid, sig, 1.0).astype(jnp.float32),
                     jnp.zeros((per_level,), jnp.float32), interest, valid))
+        blocks[-1][3] = len(sets) * per_level
         # sigma doubled -> next octave base; banded-matmul decimation (a
         # strided lane slice lowers to a ~3-4 ms/Mpx gather on this
         # toolchain — the round-2 profile's top DoG pathology).
         from visionworkbench_tpu.image.manipulation import subsample2_mxu
         base = subsample2_mxu(gauss[scales])
         octave_scale *= 2.0
-    return concatenate_points(sets)
+    pts = concatenate_points(sets)
+    if return_blocks:
+        return pts, [tuple(b) for b in blocks]
+    return pts
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -378,9 +384,29 @@ def detect_sift_like(img, threshold: float = 0.015, max_points: int = 1000,
     """The full SIFT-class pipeline: DoG detection -> scale-aware
     orientations -> oriented, scale-normalized gradient-histogram (sgrad)
     descriptors. Matches the capability of the reference ipfind's default
-    SIFT path with TPU-native parts."""
-    from visionworkbench_tpu.interest.descriptor import sgrad_descriptor
+    SIFT path with TPU-native parts.
+
+    Round 4: orientation + description run gather-free per octave block
+    (``descriptor.sift_orient_describe``): upright dynamic-slice patch
+    stacks from the octave bases, scale normalization as batched banded
+    matmuls, rotated-CELL histogram binning instead of rotated-grid
+    sampling. The vmapped bilinear-gather sampler it replaces measured
+    ~76 of the config-8 pair's 101 ms device frame
+    (tools_profile_config --config 8); ``VWTPU_SIFT_GATHER=1`` restores
+    it (assign_orientations_scaled + sgrad_descriptor remain the general
+    any-points API)."""
+    import os
+    from visionworkbench_tpu.interest.descriptor import (
+        sgrad_descriptor, sift_orient_describe,
+    )
     img = jnp.asarray(img, jnp.float32)
-    pts = detect_points_dog(img, threshold=threshold, max_points=max_points)
-    pts = assign_orientations_scaled(img, pts)
-    return sgrad_descriptor(img, pts, size=descriptor_size, upright=False)
+    if os.environ.get("VWTPU_SIFT_GATHER", "0") == "1":
+        pts = detect_points_dog(img, threshold=threshold,
+                                max_points=max_points)
+        pts = assign_orientations_scaled(img, pts)
+        return sgrad_descriptor(img, pts, size=descriptor_size,
+                                upright=False)
+    pts, blocks = detect_points_dog(img, threshold=threshold,
+                                    max_points=max_points,
+                                    return_blocks=True)
+    return sift_orient_describe(pts, blocks, size=descriptor_size)
