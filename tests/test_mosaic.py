@@ -158,3 +158,16 @@ def test_disk_image_pyramid(tmp_path, rng):
     clip0, level0 = pyr.get_image_clip(1.0, BBox2i(10, 10, 50, 50))
     assert level0 == 0
     np.testing.assert_allclose(clip0, img[10:60, 10:60])
+
+
+def test_grassfire_np_matches_device(rng):
+    """grassfire_np (the host planner twin) must equal the device
+    grassfire bit-for-bit on arbitrary masks."""
+    import numpy as np
+    from visionworkbench_tpu.image.morphology import grassfire, grassfire_np
+    m = rng.random((37, 53)) > 0.3
+    m[:, 10:14] = False
+    np.testing.assert_array_equal(np.asarray(grassfire(m)), grassfire_np(m))
+    full = np.ones((16, 16), bool)
+    np.testing.assert_array_equal(np.asarray(grassfire(full)),
+                                  grassfire_np(full))

@@ -56,6 +56,31 @@ def grassfire(valid):
     return d[1:-1, 1:-1].astype(jnp.int32)
 
 
+def grassfire_np(valid):
+    """Host NumPy twin of :func:`grassfire` for STATIC masks (the mosaic
+    planner precomputes source alphas at plan time, like the reference's
+    cached per-source grassfire generators, ``ImageComposite.h:184`` —
+    the device associative scans cost ~2.6 ms per 1-Mpx mask on TPU and
+    are pure constants when the mask comes from a reprojection plan)."""
+    import numpy as np
+    v = np.asarray(valid)
+    if v.dtype != np.bool_:
+        v = v != 0
+    seed = np.where(v, 1e9, 0.0)
+    seed = np.pad(seed, 1, constant_values=0.0)
+    for axis in (0, 1):
+        n = seed.shape[axis]
+        shape = [1, 1]
+        shape[axis] = n
+        idx = np.arange(n, dtype=seed.dtype).reshape(shape)
+        fwd = np.minimum.accumulate(seed - idx, axis=axis) + idx
+        rev = np.flip(seed, axis)
+        bwd = np.flip(np.minimum.accumulate(rev - idx, axis=axis) + idx,
+                      axis)
+        seed = np.minimum(fwd, bwd)
+    return seed[1:-1, 1:-1].astype(np.int32)
+
+
 @jax.jit
 def euclidean_distance_sq(valid):
     """Exact squared-Euclidean distance to the nearest invalid pixel (the

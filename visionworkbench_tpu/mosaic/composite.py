@@ -105,11 +105,14 @@ def blend_levels_for(height: int, width: int) -> int:
     return max(int(math.floor(math.log2(mindim / 2))) - 1, 1)
 
 
-def multiband_blend(images, masks, levels: Optional[int] = None):
+def multiband_blend(images, masks, levels: Optional[int] = None,
+                    alphas=None):
     """Blend aligned canvas-size sources (list of (H, W) arrays + bool masks).
 
     Returns (blended (H, W), valid (H, W)). Multi-channel inputs blend per
-    channel.
+    channel. ``alphas`` optionally supplies precomputed grassfire weights
+    (e.g. host-side ``grassfire_np`` of static plan masks — the reference
+    caches per-source alphas the same way, ImageComposite.h:184).
     """
     if len(images) != len(masks) or not images:
         raise ArgumentErr("multiband_blend: need equal non-empty image/mask lists")
@@ -117,7 +120,10 @@ def multiband_blend(images, masks, levels: Optional[int] = None):
     if levels is None:
         levels = blend_levels_for(h, w)
 
-    alphas = [grassfire(m).astype(jnp.float32) for m in masks]
+    if alphas is None:
+        alphas = [grassfire(m).astype(jnp.float32) for m in masks]
+    else:
+        alphas = [jnp.asarray(a, jnp.float32) for a in alphas]
     total = alphas[0]
     for a in alphas[1:]:
         total = total + a
