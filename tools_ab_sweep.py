@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--iters", type=int, default=24)
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--boxsum", default=None,
+                   help="pallas boxsum mode (matmul/roll/roll_cols/roll_rows)")
     args = p.parse_args(argv)
 
     import os
@@ -67,7 +69,8 @@ def main(argv=None) -> int:
 
             def run(b):
                 return pallas_sweep(b, match, offsets, tile, s_x, s_y,
-                                    kw, kh, "abs", want_patches=want_patches)
+                                    kw, kh, "abs", want_patches=want_patches,
+                                    boxsum=args.boxsum)
         else:
             from visionworkbench_tpu.stereo.pyramid_correlation import (
                 _tiled_search, _tiled_search_patches,

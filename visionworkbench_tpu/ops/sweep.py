@@ -334,9 +334,19 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
             planes = []
             en_planes = []
             r_curs = list(r_eys)
+            # Independent rolls from the group base (default): the
+            # round-3 incremental chain serialized ex_pad single-lane
+            # rolls; independent shifts schedule in parallel (measured
+            # 6.04 -> 5.79 ms at the flagship stage, same-day A/B;
+            # VWTPU_SWEEP_CHAINROLL=1 keeps the chain measurable).
+            chain = os.environ.get("VWTPU_SWEEP_CHAINROLL", "0") == "1"
             for ex in range(ex_pad):
                 if ex > 0:
-                    r_curs = [pltpu.roll(rc, w_all - 1, 1) for rc in r_curs]
+                    if chain:
+                        r_curs = [pltpu.roll(rc, w_all - 1, 1)
+                                  for rc in r_curs]
+                    else:
+                        r_curs = [_rollup(rb, ex, 1) for rb in r_eys]
                 if ex < sx_e:
                     if cost_type == "abs":
                         planes.append(jnp.abs(left - r_curs[0]))
