@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--boxsum", default=None,
                    help="pallas boxsum mode (matmul/roll/roll_cols/roll_rows)")
+    p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--tile-w", type=int, default=None)
     args = p.parse_args(argv)
 
     import os
@@ -51,12 +53,13 @@ def main(argv=None) -> int:
     if args.what in ("stage", "stage-nopatch"):
         # The flagship level-0 patches stage in isolation: 64-px tiles,
         # 15x15 kernel, 11x8 refine window (+ parabola ring with patches).
-        tile, kw, kh, s_x, s_y = 64, 15, 15, 11, 8
+        tile, kw, kh, s_x, s_y = args.tile, 15, 15, 11, 8
         want_patches = args.what == "stage"
         ring = 1 if want_patches else 0
-        nty = ntx = n // tile
+        tw = args.tile_w or tile
+        nty, ntx = n // tile, n // tw
         lh = nty * tile + kh - 1
-        lw = ntx * tile + kw - 1
+        lw = ntx * tw + kw - 1
         base = jnp.asarray(np.pad(left_np, ((0, lh - n), (0, lw - n)),
                                   mode="edge"))
         mh = lh + s_y - 1 + 2 * ring
@@ -70,7 +73,7 @@ def main(argv=None) -> int:
             def run(b):
                 return pallas_sweep(b, match, offsets, tile, s_x, s_y,
                                     kw, kh, "abs", want_patches=want_patches,
-                                    boxsum=args.boxsum)
+                                    boxsum=args.boxsum, tile_w=args.tile_w)
         else:
             from visionworkbench_tpu.stereo.pyramid_correlation import (
                 _tiled_search, _tiled_search_patches,
