@@ -93,7 +93,7 @@ def main():
     search = BBox2i(0, -4, 64, 8)
     w = h
     left = jnp.zeros((h, w), jnp.float32)
-    right = jnp.zeros((h, w + 64), jnp.float32)
+    right = jnp.zeros((h, w), jnp.float32)
 
     def fwd(l, r):
         dm = hierarchical_sharded_correlate(
