@@ -164,3 +164,29 @@ def test_chipper():
     assert len(set(np.concatenate(chips).tolist())) == 1000
     bounds = chip_bounds(pts, chips)
     assert len(bounds) == len(chips)
+
+
+def test_cmdutils(tmp_path):
+    """CmdUtils parity (CmdUtils.cc:20-90): output capture, sibling-program
+    resolution with .libs stripping, PATH fallback."""
+    import os
+    import pytest
+    from visionworkbench_tpu.core.cmdutils import (
+        exec_cmd, find_executable_in_path, program_path,
+    )
+    from visionworkbench_tpu.core.exceptions import NotFoundErr
+
+    assert exec_cmd("echo hello").strip() == "hello"
+    assert find_executable_in_path("sh").endswith("sh")
+    with pytest.raises(NotFoundErr):
+        find_executable_in_path("definitely-not-a-program-xyz")
+    # sibling resolution: prog next to the "current executable"
+    prog = tmp_path / "helper"
+    prog.write_text("#!/bin/sh\n")
+    assert program_path("helper", str(tmp_path / "main")) == str(prog)
+    # .libs stripping (libtool layout)
+    libs = tmp_path / ".libs"
+    libs.mkdir()
+    assert program_path("helper", str(libs / "main")) == str(prog)
+    # PATH fallback
+    assert program_path("sh", str(tmp_path / "main")).endswith("sh")

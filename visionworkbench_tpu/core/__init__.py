@@ -17,6 +17,9 @@ from visionworkbench_tpu.core.progress import (
 )
 from visionworkbench_tpu.core.cache import Cache, CacheHandle, vw_system_cache
 from visionworkbench_tpu.core.profiling import RateCounter, materialize, trace
+from visionworkbench_tpu.core.cmdutils import (
+    exec_cmd, find_executable_in_path, program_path,
+)
 
 __all__ = [
     "AbortedErr", "ArgumentErr", "InputErr", "IOErr", "LogicErr", "MathErr",
