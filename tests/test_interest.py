@@ -350,3 +350,16 @@ def test_match_constraints(rng):
     # delta -1.0 (reject); everything else passes
     expect = np.ones(n, bool); expect[3] = False; expect[5] = False
     np.testing.assert_array_equal(vso, expect)
+
+
+def test_remove_duplicates():
+    """remove_duplicates parity (Matcher.cc): either-side coordinate
+    repeats pruned, LAST occurrence kept, order preserved."""
+    from visionworkbench_tpu.interest.matcher import remove_duplicates
+    p1 = np.float32([[0, 0], [1, 0], [0, 0], [2, 0], [3, 0]])
+    p2 = np.float32([[5, 5], [6, 6], [7, 7], [6, 6], [8, 8]])
+    f1, f2 = remove_duplicates(p1, p2)
+    # (0,0) repeats in p1 (rows 0, 2): keep row 2; (6,6) repeats in p2
+    # (rows 1, 3): keep row 3.
+    np.testing.assert_array_equal(f1, np.float32([[0, 0], [2, 0], [3, 0]]))
+    np.testing.assert_array_equal(f2, np.float32([[7, 7], [6, 6], [8, 8]]))

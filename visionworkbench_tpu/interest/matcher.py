@@ -156,6 +156,30 @@ def match_points(p1: InterestPoints, p2: InterestPoints,
     return Matches(idx1, nn.astype(jnp.int32), d, ok)
 
 
+def remove_duplicates(pts1: np.ndarray, pts2: np.ndarray):
+    """Prune matches so no coordinate appears twice on EITHER side,
+    keeping the LAST occurrence of each repeated coordinate (ref
+    ``remove_duplicates``, Matcher.cc — reverse scan with (x, y) sets,
+    order restored). Host-side on (N, 2) matched coordinate arrays (the
+    form :func:`matched_coordinates` returns); returns filtered copies."""
+    pts1 = np.asarray(pts1)
+    pts2 = np.asarray(pts2)
+    if pts1.shape != pts2.shape:
+        raise ValueError("remove_duplicates: input arrays differ in shape")
+    seen1, seen2 = set(), set()
+    keep = []
+    for j in range(len(pts1) - 1, -1, -1):
+        k1 = (float(pts1[j, 0]), float(pts1[j, 1]))
+        k2 = (float(pts2[j, 0]), float(pts2[j, 1]))
+        if k1 in seen1 or k2 in seen2:
+            continue
+        seen1.add(k1)
+        seen2.add(k2)
+        keep.append(j)
+    keep.reverse()
+    return pts1[keep], pts2[keep]
+
+
 def matched_coordinates(p1: InterestPoints, p2: InterestPoints,
                         m: Matches) -> Tuple[np.ndarray, np.ndarray]:
     """Host (N, 2) matched coordinate arrays (for RANSAC / transforms)."""
