@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p2 = from_numpy(d2)
     m = match_points(p1, p2, ratio=args.matcher_threshold)
     c1, c2 = matched_coordinates(p1, p2, m)
+    # many-to-one matches pruned keep-last, like the reference
+    # (ipmatch.cc:380 -> remove_duplicates)
+    from visionworkbench_tpu.interest.matcher import remove_duplicates
+    c1, c2 = remove_duplicates(c1, c2)
     print(f"Found {len(c1)} putative matches")
     if args.ransac_constraint != "none" and len(c1) >= 4:
         model = ("similarity" if args.ransac_constraint in ("similarity",
