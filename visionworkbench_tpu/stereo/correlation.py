@@ -632,9 +632,10 @@ def best_of_search_convolution(left, right, search_volume, kernel_size,
 def _maybe_pallas_search(left, right, sx, sy, kw, kh, cost_type,
                          census_window) -> Optional[DisparityMap]:
     """Route the uniform-window sweep through the VMEM-resident Pallas
-    kernel on TPU (``ops/sweep.py``; 1.5x the XLA engine on tiled stages)
-    when the cost/shape qualifies: abs/sq or single-word census, frame big
-    enough to amortize the tile grid, per-group working set within VMEM.
+    kernel on TPU (``ops/sweep.py``; 1.3-2x the XLA engine depending on
+    cost) when the shape qualifies: any BM cost since round 4 (abs/sq/ncc
+    + every census variant incl. two-word codes), frame big enough to
+    amortize the tile grid, per-group working set within VMEM.
     ``VWTPU_SWEEP_PALLAS=0`` disables. Returns None to use the XLA engine
     (always on CPU — the bit-reproducible reference path the parity oracle
     pins)."""
