@@ -130,6 +130,47 @@ def test_rm_outliers():
     assert bool(out.valid[0, 0])
 
 
+def test_rm_outliers_int_path_matches_float_path():
+    """The packed-code integer fast path must be bit-identical to the float
+    path on integer-valued disparities (what every pyramid level feeds it)."""
+    rng = np.random.default_rng(3)
+    h = w = 64
+    disp = jnp.asarray(
+        np.stack([rng.integers(-40, 60, (h, w)),
+                  rng.integers(-7, 8, (h, w))], -1).astype(np.float32))
+    valid = jnp.asarray(rng.random((h, w)) > 0.2)
+    for (hh, hv, t, rej) in [(5, 5, 3.0, 0.5), (1, 1, 3.0, 0.2),
+                             (2, 2, 1.0, 0.6)]:
+        ref = rm_outliers_using_thresh(DisparityMap(disp, valid), hh, hv, t, rej)
+        fast = rm_outliers_using_thresh(DisparityMap(disp, valid), hh, hv, t,
+                                        rej, integer_disparities=True)
+        np.testing.assert_array_equal(np.asarray(ref.valid),
+                                      np.asarray(fast.valid))
+        np.testing.assert_array_equal(np.asarray(ref.disparity),
+                                      np.asarray(fast.disparity))
+
+
+def test_speckle_kernel_matches_float_path():
+    """ops/speckle.py Pallas stencil (interpret mode) vs the float XLA path."""
+    from visionworkbench_tpu.stereo.disparity import (
+        _rm_outliers, _pack_code, _min_match)
+    from visionworkbench_tpu.ops.speckle import speckle_keep_mask
+    rng = np.random.default_rng(5)
+    for (h, w, hh, hv, t, rej) in [(128, 128, 5, 5, 3.0, 0.5),
+                                   (64, 256, 1, 1, 3.0, 0.2),
+                                   (96, 384, 2, 3, 2.0, 0.6)]:
+        disp = jnp.asarray(np.stack(
+            [rng.integers(-40, 60, (h, w)),
+             rng.integers(-7, 8, (h, w))], -1).astype(np.float32))
+        valid = jnp.asarray(rng.random((h, w)) > 0.2)
+        _, vref = _rm_outliers(disp, valid, hh, hv, t, rej)
+        total = (2 * hv + 1) * (2 * hh + 1)
+        keep = speckle_keep_mask(_pack_code(disp, valid), hh, hv, int(t),
+                                 _min_match(total, rej), interpret=True) != 0
+        np.testing.assert_array_equal(np.asarray(vref),
+                                      np.asarray(valid & keep))
+
+
 def test_cross_corr_consistency():
     h = w = 8
     d = jnp.zeros((h, w, 2), jnp.int32).at[..., 0].set(2)

@@ -66,9 +66,11 @@ def _halo_cleanup(dm: DisparityMap, fhk: int, on_last: bool) -> DisparityMap:
     v = halo_exchange_rows(dm.valid, fhk, fhk)
     pdm = DisparityMap(d, v)
     if on_last:
-        pdm = rm_outliers_using_thresh(pdm, fhk, fhk, 3.0, 0.5)
+        pdm = rm_outliers_using_thresh(pdm, fhk, fhk, 3.0, 0.5,
+                                       integer_disparities=True)
     else:
-        pdm = disparity_cleanup_using_thresh(pdm, fhk, fhk, 3.0, 0.5)
+        pdm = disparity_cleanup_using_thresh(pdm, fhk, fhk, 3.0, 0.5,
+                                             integer_disparities=True)
     return DisparityMap(pdm.disparity[fhk:d.shape[0] - fhk],
                         pdm.valid[fhk:d.shape[0] - fhk])
 

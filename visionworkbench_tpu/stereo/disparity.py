@@ -70,6 +70,18 @@ def disparity_mask(dm: DisparityMap, left_mask, right_mask,
     return DisparityMap(jnp.where(valid[..., None], dm.disparity, 0), valid)
 
 
+def _tree_sum(planes):
+    """Pairwise-tree sum of equal-shape planes (log-depth add chain: XLA
+    fuses several adds per kernel, so the accumulator round-trips HBM
+    O(log n) times instead of O(n))."""
+    while len(planes) > 1:
+        nxt = [planes[i] + planes[i + 1] for i in range(0, len(planes) - 1, 2)]
+        if len(planes) % 2:
+            nxt.append(planes[-1])
+        planes = nxt
+    return planes[0]
+
+
 @functools.partial(jax.jit, static_argnames=("half_h", "half_v"))
 def _rm_outliers(disp, valid, half_h: int, half_v: int,
                  pixel_threshold: float, rejection_threshold: float):
@@ -85,7 +97,7 @@ def _rm_outliers(disp, valid, half_h: int, half_v: int,
     pdy = jnp.pad(dy, ((half_v, half_v), (half_h, half_h)), mode="edge")
     pva = jnp.pad(valid, ((half_v, half_v), (half_h, half_h)), mode="edge")
     nx = 2 * half_h + 1
-    matched = jnp.zeros((h, w), jnp.int32)
+    oks = []
     for i in range(2 * half_v + 1):
         for j in range(nx):
             ndx = jax.lax.slice(pdx, (i, j), (i + h, j + w))
@@ -93,34 +105,123 @@ def _rm_outliers(disp, valid, half_h: int, half_v: int,
             nva = jax.lax.slice(pva, (i, j), (i + h, j + w))
             ok = (nva & (jnp.abs(dx - ndx) <= pixel_threshold)
                   & (jnp.abs(dy - ndy) <= pixel_threshold))
-            matched = matched + ok.astype(jnp.int32)
+            oks.append(ok.astype(jnp.int32))
+    matched = _tree_sum(oks)
     total = (2 * half_v + 1) * nx
     keep = (matched.astype(jnp.float32) / total) >= rejection_threshold
     new_valid = valid & keep
     return jnp.where(new_valid[..., None], disp, jnp.zeros_like(disp)), new_valid
 
 
+def _pack_code(disp, valid):
+    """(dx, dy, valid) -> one int32 code plane: dx field << 14, dy low 14
+    bits (both offset by 8192), invalid or out-of-band (|d| >= 8191) pixels
+    code 0, whose dx-field difference vs any in-band value exceeds any
+    threshold <= 26 — so they can never falsely agree."""
+    dxi = jnp.round(disp[..., 0]).astype(jnp.int32)
+    dyi = jnp.round(disp[..., 1]).astype(jnp.int32)
+    in_band = valid & (jnp.abs(dxi) < 8191) & (jnp.abs(dyi) < 8191)
+    code = ((dxi + 8192) << 14) | (dyi + 8192)
+    return jnp.where(in_band, code, 0)
+
+
+def _min_match(total: int, rejection_threshold: float) -> int:
+    """Smallest integer m with float32(m)/float32(total) >= rej — the exact
+    integer form of the float-path keep test."""
+    rej = np.float32(rejection_threshold)
+    for m in range(total + 1):
+        if np.float32(m) / np.float32(total) >= rej:
+            return m
+    return total + 1
+
+
+@functools.partial(jax.jit, static_argnames=("half_h", "half_v",
+                                             "pixel_threshold"))
+def _rm_outliers_int(disp, valid, half_h: int, half_v: int,
+                     pixel_threshold: float, rejection_threshold: float):
+    """Integer-disparity XLA fast path (packed one-plane form of
+    ``_rm_outliers``; bit-identical on integer-valued disparities with
+    |d| < 8191). Fallback for shapes the Pallas stencil kernel
+    (``ops/speckle.py``) does not take."""
+    h, w = valid.shape
+    t = int(np.floor(pixel_threshold))
+    code = _pack_code(disp, valid)
+    pc = jnp.pad(code, ((half_v, half_v), (half_h, half_h)), mode="edge")
+    cdx = code >> 14
+    cdy = code & 0x3FFF
+    nx = 2 * half_h + 1
+    oks = []
+    for i in range(2 * half_v + 1):
+        for j in range(nx):
+            nc = jax.lax.slice(pc, (i, j), (i + h, j + w))
+            ok = ((jnp.abs(cdx - (nc >> 14)) <= t)
+                  & (jnp.abs(cdy - (nc & 0x3FFF)) <= t))
+            oks.append(ok.astype(jnp.int32))
+    matched = _tree_sum(oks)
+    total = (2 * half_v + 1) * nx
+    keep = (matched.astype(jnp.float32) / total) >= rejection_threshold
+    # A center pixel with in-band integer disparity always matches itself,
+    # so `matched` counts exactly the reference's agreeing neighbours; the
+    # final valid mask still gates on the incoming validity.
+    new_valid = valid & keep
+    return jnp.where(new_valid[..., None], disp, jnp.zeros_like(disp)), new_valid
+
+
+def _rm_outliers_int_dispatch(disp, valid, half_h: int, half_v: int,
+                              pixel_threshold: float,
+                              rejection_threshold: float):
+    """Route integer-disparity speckle filtering to the Pallas stencil
+    kernel (VMEM-resident window; ops/speckle.py) when the frame is
+    TPU-tile aligned, else to the packed-XLA path."""
+    import os
+    h, w = valid.shape
+    t = int(np.floor(pixel_threshold))
+    use_kernel = (os.environ.get("VWTPU_SPECKLE_KERNEL", "1") == "1"
+                  and w % 128 == 0 and h % 8 == 0 and h >= 64
+                  and jax.default_backend() == "tpu")
+    if not use_kernel:
+        return _rm_outliers_int(disp, valid, half_h, half_v,
+                                float(pixel_threshold),
+                                float(rejection_threshold))
+    from visionworkbench_tpu.ops.speckle import speckle_keep_mask
+    total = (2 * half_v + 1) * (2 * half_h + 1)
+    code = _pack_code(disp, valid)
+    keep = speckle_keep_mask(code, half_h, half_v, t,
+                             _min_match(total, rejection_threshold)) != 0
+    new_valid = valid & keep
+    return jnp.where(new_valid[..., None], disp, jnp.zeros_like(disp)), new_valid
+
+
 def rm_outliers_using_thresh(dm: DisparityMap, half_h_kernel: int, half_v_kernel: int,
                              pixel_threshold: float,
-                             rejection_threshold: float) -> DisparityMap:
+                             rejection_threshold: float,
+                             integer_disparities: bool = False) -> DisparityMap:
     """Neighborhood-agreement speckle filter (ref ``rm_outliers_using_thresh``,
     DisparityMap.h:405-433): a valid pixel survives iff the fraction of window
     neighbors that are valid and within ``pixel_threshold`` in both disparity
-    channels is at least ``rejection_threshold``."""
-    disp, valid = _rm_outliers(dm.disparity, dm.valid, int(half_h_kernel),
-                               int(half_v_kernel), float(pixel_threshold),
-                               float(rejection_threshold))
+    channels is at least ``rejection_threshold``.
+
+    ``integer_disparities``: promise that every disparity is integer-valued
+    (true for all pre-subpixel pyramid levels) — enables the packed-code
+    fast path (bit-identical result, ~2x less HBM traffic)."""
+    fn = _rm_outliers_int_dispatch if integer_disparities else _rm_outliers
+    disp, valid = fn(dm.disparity, dm.valid, int(half_h_kernel),
+                     int(half_v_kernel), float(pixel_threshold),
+                     float(rejection_threshold))
     return DisparityMap(disp, valid)
 
 
 def disparity_cleanup_using_thresh(dm: DisparityMap, half_h_kernel: int,
                                    half_v_kernel: int, pixel_threshold: float,
-                                   rejection_threshold: float) -> DisparityMap:
+                                   rejection_threshold: float,
+                                   integer_disparities: bool = False) -> DisparityMap:
     """Two-pass cleanup; second pass hard-coded to (1, 1, 3.0, 0.20)
     (ref ``disparity_cleanup_using_thresh``, DisparityMap.h:426-447)."""
     out = rm_outliers_using_thresh(dm, half_h_kernel, half_v_kernel,
-                                   pixel_threshold, rejection_threshold)
-    return rm_outliers_using_thresh(out, 1, 1, 3.0, 0.20)
+                                   pixel_threshold, rejection_threshold,
+                                   integer_disparities)
+    return rm_outliers_using_thresh(out, 1, 1, 3.0, 0.20,
+                                    integer_disparities)
 
 
 @jax.jit

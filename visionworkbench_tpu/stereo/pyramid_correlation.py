@@ -697,12 +697,16 @@ def pyramid_correlate(left, right, search_region: BBox2i,
 
         # Per-level speckle filtering (CorrelationView.cc:707-745).
         if filter_half_kernel > 0:
+            # Disparities at this point are integer-valued (per-level search
+            # output, pre-subpixel) -> packed-code speckle fast path.
             if not on_last:
                 dm = disparity_cleanup_using_thresh(dm, filter_half_kernel,
-                                                    filter_half_kernel, 3.0, 0.5)
+                                                    filter_half_kernel, 3.0, 0.5,
+                                                    integer_disparities=True)
             else:
                 dm = rm_outliers_using_thresh(dm, filter_half_kernel,
-                                              filter_half_kernel, 3.0, 0.5)
+                                              filter_half_kernel, 3.0, 0.5,
+                                              integer_disparities=True)
             if on_last and not user_masks:
                 # No user masks at level 0: rmask0 is exactly the rectangle
                 # where the (smin-shifted, zero-extended) right crop covers
