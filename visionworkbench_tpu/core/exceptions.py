@@ -51,6 +51,13 @@ class AbortedErr(VWError):
     """Operation cancelled (progress-callback abort, ref ``ProgressCallback.h``)."""
 
 
+class UnsupportedCRSErr(ArgumentErr):
+    """A CRS (proj4 / WKT / EPSG) names a projection, datum, or unit outside
+    the in-tree set (the reference delegates arbitrary CRSs to PROJ/OGR,
+    ``src/vw/Cartography/GeoReference.h:251-254``; this framework carries its
+    own projection families and raises this typed error beyond them)."""
+
+
 def vw_throw(exc_type: type, *message) -> None:
     """Raise ``exc_type`` with the concatenation of ``message`` parts.
 
