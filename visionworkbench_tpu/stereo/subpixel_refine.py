@@ -369,7 +369,7 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
     G0 = None if rewarp else warp_once(fold0_static)
 
     def outer_body(it, carry):
-        d, fold, prev_sum, frozen = carry
+        d, fold, prev_sum, frozen, poisoned = carry
         # abort check at iteration top (Correlate.cc:212-217)
         aborted = jnp.sqrt(d[2] * d[2] + d[5] * d[5]) > max_trans
         active = ~frozen & ~aborted
@@ -385,6 +385,7 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
         var2_plane, var2_noise = 1e-3, 1e-2
         lhs_sol = None
         sum_ie = jnp.zeros((h, w), jnp.float32)
+        nonlocal_poison = []
 
         for em_iter in range(n_em):
             A = {}
@@ -463,6 +464,14 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
                     gamma_noise = jnp.where(denom > 0,
                                             noise_prob * w_noise[None] / safe,
                                             0.0)
+                    # A zero denominator (both mixture probs underflowed)
+                    # NaN-poisons the reference's accumulators and the pixel
+                    # ends up invalidated (Correlate.cc:676-678 has no
+                    # guard; the NaN rides through posv into d and the final
+                    # isnan check kills it). The dense path computes with
+                    # gamma=0 instead and records the poisoning explicitly.
+                    poison_row = jnp.any(denom <= 0, axis=0)
+                    nonlocal_poison.append(poison_row)
                     weight = gamma_plane * w_row
                 else:
                     weight = w_row
@@ -541,12 +550,27 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
 
         d_new = [d[k] + lhs_sol[k] for k in range(6)]
         curr_sum = jnp.abs(sum_ie)
-        # rising-residual early stop (applies AFTER the update, like the
-        # reference's d += lhs; break)
-        stop = (prev_sum < curr_sum) & (it > 0)
+        if use_em:
+            # rising-residual early stop (applies AFTER the update, like
+            # the reference's d += lhs; break — Correlate.cc:824-832)
+            stop = (prev_sum < curr_sum) & (it > 0)
+        else:
+            # the plain-affine refiner stops on a small quarter-kernel-
+            # weighted update norm instead (Correlate.cc:1167-1175)
+            kqw, kqh = float(k2w // 2), float(k2h // 2)
+            wl = (kqw * lhs_sol[0] * (kqw * lhs_sol[0])
+                  + kqh * lhs_sol[1] * (kqh * lhs_sol[1])
+                  + lhs_sol[2] * lhs_sol[2]
+                  + kqw * lhs_sol[3] * (kqw * lhs_sol[3])
+                  + kqh * lhs_sol[4] * (kqh * lhs_sol[4])
+                  + lhs_sol[5] * lhs_sol[5])
+            stop = jnp.sqrt(wl) < 0.05
         upd = active
         d_out = [jnp.where(upd, d_new[k], d[k]) for k in range(6)]
         new_frozen = frozen | aborted | (upd & stop)
+        new_poisoned = poisoned
+        for pr in nonlocal_poison:
+            new_poisoned = new_poisoned | (upd & pr)
         new_prev = jnp.where(upd & ~stop, curr_sum, prev_sum)
         if rewarp:
             # fold integer translation into the warp field for the next
@@ -557,7 +581,8 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
                                  jnp.stack([nfx, nfy], -1), fold)
         else:
             new_fold = fold   # warp-once: G is fixed, offsets ride the clip
-        return (tuple(d_out), new_fold, new_prev, new_frozen)
+        return (tuple(d_out), new_fold, new_prev, new_frozen,
+                new_poisoned)
 
     d0 = (jnp.ones((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32),
           jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32),
@@ -565,7 +590,8 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
     fold0 = jnp.round(frac0).astype(jnp.int32)
     prev0 = jnp.zeros((h, w), jnp.float32)
     frozen0 = jnp.zeros((h, w), bool)
-    carry = (d0, fold0, prev0, frozen0)
+    poisoned0 = jnp.zeros((h, w), bool)
+    carry = (d0, fold0, prev0, frozen0, poisoned0)
     if outer_iters <= 4:
         # Static unroll of the small production iteration counts: measured
         # perf-NEUTRAL vs fori_loop (XLA already handles the invariant
@@ -579,6 +605,7 @@ def _em_affine_dense(disp, valid, left, right, kw: int, kh: int,
 
     trans = jnp.sqrt(d[2] * d[2] + d[5] * d[5])
     bad = (trans > max_trans) | ~jnp.isfinite(d[2]) | ~jnp.isfinite(d[5])
+    bad = bad | carry[4]   # mixture-denominator poisoning (see above)
     out_valid = valid & ok_weights & ~bad
     out = dispf + jnp.stack([jnp.where(bad, 0.0, d[2]),
                              jnp.where(bad, 0.0, d[5])], -1)
