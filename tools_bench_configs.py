@@ -57,7 +57,35 @@ def main(argv=None) -> int:
                    help="run on the host CPU (the same-frame reference-class "
                         "baseline; use few --iters). Output lines carry "
                         "platform=cpu. NEVER overlap with a TPU measurement.")
+    p.add_argument("--inproc", action="store_true",
+                   help="run the listed configs in THIS process (the child "
+                        "mode; same-process A/Bs skewed round-2 numbers "
+                        "99.8 -> 62 Mp/s, so the default launches one fresh "
+                        "serial subprocess per config)")
     args = p.parse_args(argv)
+
+    if not args.inproc and len(args.configs) > 1:
+        # One fresh process per config — the documented measurement rule
+        # (CLAUDE.md: engines/configs must be measured in separate
+        # processes on an otherwise-idle host), applied uniformly so the
+        # headline table is a single protocol.
+        import subprocess
+        rc = 0
+        for c in args.configs:
+            cmd = [sys.executable, __file__, "--configs", str(c), "--inproc",
+                   "--iters", str(args.iters)]
+            for flag, on in (("--quick", args.quick), ("--ship", args.ship),
+                             ("--cpu", args.cpu)):
+                if on:
+                    cmd.append(flag)
+            out = subprocess.run(cmd, capture_output=True, text=True)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if out.returncode != 0:
+                print(out.stderr[-2000:], file=sys.stderr)
+                rc = out.returncode
+        return rc
 
     import jax
     if args.cpu:
@@ -201,27 +229,7 @@ def main(argv=None) -> int:
         # canvas-Mp/s).
         report("reproject+multiband-mosaic", n * n / dt / 1e6, "Mp/s")
 
-    if 6 in args.configs and len(args.configs) > 1:
-        # Config 6 measures the default (Pallas) SGM engine and engines must
-        # be measured in separate processes (same-process A/Bs skewed the
-        # round-2 number 99.8 -> 62 Mp/s): run it in a CLEAN subprocess and
-        # forward its JSON line.
-        import subprocess
-        cmd = [sys.executable, __file__, "--configs", "6",
-               "--iters", str(args.iters)]
-        if args.quick:
-            cmd.append("--quick")
-        if args.ship:
-            cmd.append("--ship")
-        if args.cpu:
-            cmd.append("--cpu")
-        out = subprocess.run(cmd, capture_output=True, text=True)
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                print(line, flush=True)
-        if out.returncode != 0:
-            print(out.stderr[-2000:], file=sys.stderr)
-    elif 6 in args.configs:
+    if 6 in args.configs:
         # Config 6: pyramid SGM (census 5x5, parabola subpixel, 64x2 search)
         # — the reference's marquee algorithm (SGM.cc). 512^2 frames: the
         # aggregation working set is ~4x the (H, W, sy, sx) volume.

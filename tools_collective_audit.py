@@ -79,6 +79,7 @@ def audit_hlo(hlo_text: str):
 def main():
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    algo = sys.argv[3] if len(sys.argv) > 3 else "bm"
     jax = _ensure_cpu(n)
     import jax.numpy as jnp
     import numpy as np
@@ -90,15 +91,25 @@ def main():
     from visionworkbench_tpu.parallel.mesh import make_tile_mesh
 
     mesh = make_tile_mesh(n)
-    search = BBox2i(0, -4, 64, 8)
     w = h
     left = jnp.zeros((h, w), jnp.float32)
     right = jnp.zeros((h, w), jnp.float32)
 
+    if algo == "bm":
+        search = BBox2i(0, -4, 64, 8)
+        desc = "search 64x8, kernel 15x15, 4 levels, parabola"
+        kwargs = dict(kernel_size=(15, 15), max_pyramid_levels=4,
+                      subpixel="parabola")
+    else:
+        # The 4-process multihost job's algorithm (tests/multihost_worker4):
+        # hierarchical SGM/MGM, census 5x5, config-6 search shape.
+        search = BBox2i(0, -1, 64, 2)
+        desc = f"{algo}, census 5x5, search 64x2, 4 levels"
+        kwargs = dict(stereo_algorithm=algo, census_window=5,
+                      max_pyramid_levels=4, subpixel="none")
+
     def fwd(l, r):
-        dm = hierarchical_sharded_correlate(
-            l, r, search, mesh, kernel_size=(15, 15),
-            max_pyramid_levels=4, subpixel="parabola")
+        dm = hierarchical_sharded_correlate(l, r, search, mesh, **kwargs)
         return dm.disparity, dm.valid
 
     lowered = jax.jit(fwd).lower(left, right)
@@ -107,7 +118,7 @@ def main():
     stats = audit_hlo(hlo)
 
     print(f"hierarchical_sharded_correlate, {h}x{w} frame, {n}-device mesh, "
-          f"search 64x8, kernel 15x15, 4 levels, parabola")
+          f"{desc}")
     print(f"{'collective':>20} {'ops':>5} {'bytes/frame':>14} {'MB':>8}")
     tot = 0
     for kind, (cnt, b) in sorted(stats.items()):

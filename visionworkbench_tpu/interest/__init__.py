@@ -1,6 +1,8 @@
 """Interest points — TPU-native replacement for ``src/vw/InterestPoint/``."""
 
-from visionworkbench_tpu.interest.types import InterestPoints, from_numpy
+from visionworkbench_tpu.interest.types import (
+    ImageOctaveHistory, InterestPoints, from_numpy,
+)
 from visionworkbench_tpu.interest.operators import (
     harris_interest, image_gradients, log_interest,
 )

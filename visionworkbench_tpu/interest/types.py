@@ -62,3 +62,51 @@ def from_numpy(d) -> InterestPoints:
         descriptor=(jnp.asarray(d["descriptor"], jnp.float32)
                     if "descriptor" in d else None),
     )
+
+
+def scale_to_plane_index(base: int, scales: int, scale: float) -> int:
+    """Plane index in an octave most closely matching ``scale``
+    (ref ``ImageOctave::scale_to_plane_index``, ImageOctave.h:87-94)."""
+    import math
+    return int(scales * (math.log(scale) - math.log(float(base)))
+               / math.log(2.0) + 0.00001)
+
+
+class ImageOctaveHistory(list):
+    """Container for the intermediate scale-space images produced while
+    iterating octaves — kept for descriptor generation after detection
+    (ref ``ImageOctaveHistory``, ImageOctaveHistory.h:40-76). A list of
+    octaves, each a list of per-plane images (scales + 2 planes: one
+    below, one above)."""
+
+    def __init__(self):
+        super().__init__()
+        self._num_scales = 0
+
+    def octaves(self) -> int:
+        return len(self)
+
+    def scales(self) -> int:
+        """Scales per octave (two less than the plane count)."""
+        return self._num_scales
+
+    def add_octave(self, octave) -> None:
+        self.append(list(octave))
+        self._num_scales = len(octave) - 2
+
+    def image_at_scale(self, scale: float):
+        """Image most closely matching ``scale``
+        (ref ``image_at_scale``, ImageOctaveHistory.h:64-75)."""
+        import math
+        from visionworkbench_tpu.core.exceptions import ArgumentErr
+        octave = int(math.log(scale) / math.log(2.0))
+        if octave == self.octaves():
+            octave = self.octaves() - 1
+        if not 0 <= octave < self.octaves():
+            raise ArgumentErr(
+                "ImageOctaveHistory.image_at_scale: no image matching scale")
+        plane = scale_to_plane_index(1 << octave, self._num_scales, scale)
+        if not 0 <= plane < self.scales() + 2:
+            raise ArgumentErr(
+                "ImageOctaveHistory.image_at_scale: no image matching scale")
+        return self[octave][plane]
