@@ -455,7 +455,8 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                  kw: int, kh: int, cost_type: str = "abs",
                  want_patches: bool = True, precision: str = "split2",
                  census_window: int = 5, tile_w: int = None,
-                 interpret: bool = False, boxsum: str = None):
+                 interpret: bool = False, boxsum: str = None,
+                 patches_as_planes: bool = False):
     """Fused per-tile disparity sweep, matching the contracts of
     ``stereo.pyramid_correlation._tiled_search_patches`` (``want_patches``)
     and ``_tiled_search`` (plain window).
@@ -500,17 +501,20 @@ def pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                          kw=kw, kh=kh, cost_type=cost_type,
                          want_patches=want_patches, precision=precision,
                          census_window=census_window, tile_w=tile_w,
-                         interpret=interpret, boxsum=boxsum)
+                         interpret=interpret, boxsum=boxsum,
+                         patches_as_planes=patches_as_planes)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "s_x", "s_y", "kw", "kh", "cost_type", "want_patches",
-    "precision", "census_window", "tile_w", "interpret", "boxsum"))
+    "precision", "census_window", "tile_w", "interpret", "boxsum",
+    "patches_as_planes"))
 def _pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
                   kw: int, kh: int, cost_type: str,
                   want_patches: bool, precision: str,
                   census_window: int, tile_w: int,
-                  interpret: bool, boxsum: str):
+                  interpret: bool, boxsum: str,
+                  patches_as_planes: bool = False):
     census_bits = 0
     n_words = 1
     if cost_type in ("census", "ternary_census"):
@@ -622,5 +626,11 @@ def _pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     disp = jnp.where(valid[..., None], rel, 0) + off_map
     patch = None
     if want_patches:
-        patch = jnp.stack([untile(p) for p in outs[3:12]], axis=-1)
+        if patches_as_planes:
+            # tuple of nine (H, W) planes: the parabola fit consumes them
+            # directly (stereo/subpixel._fit_parabola planes form), skipping
+            # the (H, W, 9) stack materialization.
+            patch = tuple(untile(p) for p in outs[3:12])
+        else:
+            patch = jnp.stack([untile(p) for p in outs[3:12]], axis=-1)
     return disp, valid, patch

@@ -632,12 +632,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
                 disp, valid, patches = pallas_sweep(
                     lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
                     cost_type, want_patches=True,
-                    census_window=int(census_window))
+                    census_window=int(census_window),
+                    patches_as_planes=True)
+                patches = tuple(p[:out_h, :out_w] for p in patches)
             else:
                 disp, valid, patches = _tiled_search_patches(
                     lbase, mbase_p, offsets, t, s_x_eff, s_y_eff, kw, kh,
                     cost_type, census_window=census_window)
-            patches = patches[:out_h, :out_w]
+                patches = patches[:out_h, :out_w]
         else:
             sgm_kwargs = {}
             if sgm_mode:
