@@ -300,3 +300,97 @@ def test_image2qtree_projection_corner_cases(tmp_path, rng, capsys):
     base = os.path.dirname(name) or "."
     for r in refs[:10]:
         assert os.path.exists(os.path.join(base, r)), r
+
+
+def test_text_match_file_roundtrip_and_conversions(tmp_path):
+    """Round-5 flag audit: text match IO + ipmatch conversion modes
+    (ref MatcherIO.cc:378-500, ipmatch.cc --binary-to-txt/--txt-to-binary)."""
+    import numpy as np
+    from visionworkbench_tpu.interest import (
+        read_binary_match_file, read_text_match_file,
+        write_binary_match_file, write_text_match_file,
+    )
+    a = {"x": np.array([1.5, 2.25]), "y": np.array([3.0, 4.125]),
+         "scale": np.array([1.0, 2.0])}
+    b = {"x": np.array([5.5, 6.75]), "y": np.array([7.0, 8.5]),
+         "scale": np.array([1.0, 1.5])}
+    txt = str(tmp_path / "m.txt")
+    write_text_match_file(txt, a, b)
+    a2, b2 = read_text_match_file(txt)
+    np.testing.assert_allclose(a2["x"], a["x"])
+    np.testing.assert_allclose(b2["scale"], b["scale"])
+    # CLI conversions
+    from visionworkbench_tpu.tools import ipmatch
+    binf = str(tmp_path / "m.match")
+    assert ipmatch.main(["--txt-to-binary", txt, binf]) == 0
+    a3, b3 = read_binary_match_file(binf)
+    np.testing.assert_allclose(a3["x"], a["x"])
+    txt2 = str(tmp_path / "m2.txt")
+    assert ipmatch.main(["--binary-to-txt", binf, txt2]) == 0
+    a4, _ = read_text_match_file(txt2)
+    np.testing.assert_allclose(a4["y"], a["y"])
+    # merge (binary): two files with one duplicate pair
+    binf2 = str(tmp_path / "n.match")
+    write_binary_match_file(binf2, {"x": np.array([1.5, 9.0]),
+                                    "y": np.array([3.0, 9.0])},
+                            {"x": np.array([5.5, 9.0]),
+                             "y": np.array([7.0, 9.0])})
+    merged = str(tmp_path / "merged.match")
+    assert ipmatch.main(["--merge-match-files", binf, binf2, merged]) == 0
+    am, _ = read_binary_match_file(merged)
+    assert len(am["x"]) == 3    # 2 + 2 with 1 duplicate
+
+
+def test_colormap_styles_and_legend(tmp_path):
+    """All reference colormap styles render; file-based LUTs load; the
+    colormap CLI --moon/--hillshade/--legend paths run."""
+    import numpy as np
+    import jax.numpy as jnp
+    from visionworkbench_tpu.cartography.colormap import _LUTS, colormap
+    vals = jnp.asarray(np.linspace(0, 1, 64).reshape(8, 8), jnp.float32)
+    for style in ("binary-red-blue", "jet", "black-body", "viridis",
+                  "kindlmann", "cubehelix", "plasma", "inferno", "rainbow",
+                  "turbo"):
+        rgb = np.asarray(colormap(vals, 0.0, 1.0, style))
+        assert rgb.shape == (8, 8, 3) and rgb.min() >= 0 and rgb.max() <= 1
+        assert style in _LUTS
+    lut_file = str(tmp_path / "c.lut")
+    with open(lut_file, "w") as f:
+        f.write("0 255 0 0\n50% 0 255 0\n1.0 0 0 255\n")
+    rgb = np.asarray(colormap(vals, 0.0, 1.0, lut_file))
+    assert rgb[0, 0, 0] > 0.9 and rgb[-1, -1, 2] > 0.9
+    # CLI with moon preset + hillshade + legend
+    from visionworkbench_tpu.fileio import write_tiff
+    from visionworkbench_tpu.tools import colormap as cm_tool
+    dem = (np.random.default_rng(0).random((16, 16)) * 1000).astype(np.float32)
+    src = str(tmp_path / "dem.tif")
+    write_tiff(src, dem)
+    out = str(tmp_path / "cm.png")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert cm_tool.main([src, "-o", out, "--moon", "--hillshade",
+                             "--legend", "--colormap-style", "turbo"]) == 0
+        assert os.path.exists(out) and os.path.exists("legend.png")
+    finally:
+        os.chdir(cwd)
+
+
+def test_georef_query_modes(tmp_path, capsys):
+    import numpy as np
+    from visionworkbench_tpu.cartography.georeference import GeoReference
+    from visionworkbench_tpu.fileio import write_tiff
+    from visionworkbench_tpu.tools import georef_query
+    g = GeoReference.from_epsg(32612,
+                               transform=np.array([[30.0, 0, 4e5],
+                                                   [0, -30.0, 5e6],
+                                                   [0, 0, 1]]))
+    src = str(tmp_path / "g.tif")
+    write_tiff(src, np.zeros((8, 8), np.float32), georef=g)
+    assert georef_query.main([src, "--row", "0", "--col", "0",
+                              "--output-format", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "x = 400015.0" in out and "y = 4999985.0" in out
+    assert georef_query.main([src, "--print-bounds"]) == 0
+    out = capsys.readouterr().out
+    assert "Min longitude" in out

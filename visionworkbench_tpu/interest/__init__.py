@@ -20,5 +20,6 @@ from visionworkbench_tpu.interest.matcher import (
 )
 from visionworkbench_tpu.interest.io import (
     match_filename, read_binary_ip_file, read_binary_match_file,
-    write_binary_ip_file, write_binary_match_file,
+    read_text_match_file, write_binary_ip_file, write_binary_match_file,
+    write_text_match_file,
 )

@@ -109,3 +109,45 @@ def match_filename(prefix: str, image1: str, image2: str) -> str:
     b1 = os.path.splitext(os.path.basename(image1))[0]
     b2 = os.path.splitext(os.path.basename(image2))[0]
     return f"{prefix}{b1}__{b2}.match"
+
+
+def write_text_match_file(path: str, points1: Dict, points2: Dict) -> None:
+    """Plain-text match file: 'x1 y1 scale1 x2 y2 scale2' per line, 9-digit
+    precision (ref ``write_text_match_file``, MatcherIO.cc:378-404)."""
+    from visionworkbench_tpu.core.exceptions import IOErr
+    if not path.lower().endswith(".txt"):
+        raise IOErr(f"Text match file must have .txt extension: {path}")
+    import numpy as np
+    n = len(points1["x"])
+    if n != len(points2["x"]):
+        raise IOErr("The vectors of matching interest points must have the "
+                    "same size.")
+    s1 = np.asarray(points1.get("scale", np.ones(n)))
+    s2 = np.asarray(points2.get("scale", np.ones(n)))
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(f"{points1['x'][i]:.9g} {points1['y'][i]:.9g} "
+                    f"{s1[i]:.9g} {points2['x'][i]:.9g} "
+                    f"{points2['y'][i]:.9g} {s2[i]:.9g}\n")
+
+
+def read_text_match_file(path: str) -> Tuple[Dict, Dict]:
+    """(ref ``read_text_match_file``, MatcherIO.cc:447-500)"""
+    from visionworkbench_tpu.core.exceptions import IOErr
+    import numpy as np
+    if not path.lower().endswith(".txt"):
+        raise IOErr(f"Text match file must have .txt extension: {path}")
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 6:
+                rows.append([float(v) for v in parts[:6]])
+    a = np.asarray(rows, np.float64).reshape(-1, 6)
+    zeros = np.zeros(len(a), np.float32)
+    mk = lambda x, y, s: {"x": x.astype(np.float32),          # noqa: E731
+                          "y": y.astype(np.float32),
+                          "scale": s.astype(np.float32),
+                          "orientation": zeros, "interest": zeros,
+                          "descriptor": np.zeros((len(a), 0), np.float32)}
+    return mk(a[:, 0], a[:, 1], a[:, 2]), mk(a[:, 3], a[:, 4], a[:, 5])

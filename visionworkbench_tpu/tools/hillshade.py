@@ -18,6 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--scale", type=float, default=0.0,
                    help="ground units per pixel (0 = infer from georef)")
     p.add_argument("--nodata-value", type=float, default=None)
+    p.add_argument("--blur", type=float, default=None,
+                   help="pre-blur the DEM with this Gaussian sigma "
+                        "(ref hillshade.cc --blur)")
+    p.add_argument("--align-to-georef", action="store_true",
+                   help="azimuth relative to East (georef axes) instead of "
+                        "+x in the image (ref hillshade.cc)")
     return p
 
 
@@ -42,7 +48,18 @@ def main(argv=None) -> int:
                           "Projection" else 1.0)
         else:
             scale = 1.0
-    out = hillshade(jnp.asarray(dem, jnp.float32), args.azimuth,
+    dem = np.asarray(dem, np.float32)
+    if args.blur and args.blur > 0:
+        from visionworkbench_tpu.image.filters import gaussian_filter
+        dem = np.asarray(gaussian_filter(jnp.asarray(dem), args.blur))
+    azimuth = args.azimuth
+    if args.align_to_georef and georef is not None:
+        # image +x vs East: a north-up georef has x = East already; a
+        # rotated transform needs the rotation folded into the azimuth.
+        import math as _m
+        t = georef.transform
+        azimuth = azimuth - _m.degrees(_m.atan2(-t[1, 0], t[0, 0]))
+    out = hillshade(jnp.asarray(dem, jnp.float32), azimuth,
                     args.elevation, scale, nodata)
     if isinstance(out, MaskedImage):
         data = np.asarray(out.filled(0.0))

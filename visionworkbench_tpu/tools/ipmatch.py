@@ -24,16 +24,77 @@ def build_parser() -> argparse.ArgumentParser:
                    default="similarity")
     p.add_argument("--inlier-threshold", type=float, default=10.0)
     p.add_argument("--ransac-iterations", type=int, default=100)
+    p.add_argument("-m", "--distance-metric", choices=["l2", "hamming"],
+                   default="l2",
+                   help="descriptor distance (ref ipmatch.cc "
+                        "--distance-metric; hamming for binary descriptors)")
+    p.add_argument("--matches-as-txt", action="store_true",
+                   help="write the match file as plain text (.txt)")
+    p.add_argument("--binary-to-txt", action="store_true",
+                   help="convert: read binary <in.match>, write text "
+                        "<out.txt> (pass the two files as positionals)")
+    p.add_argument("--txt-to-binary", action="store_true",
+                   help="convert: read text <in.txt>, write binary "
+                        "<out.match>")
+    p.add_argument("--merge-match-files", action="store_true",
+                   help="merge several match files for one image pair; "
+                        "inputs then output as positionals "
+                        "(ref ipmatch.cc --merge-match-files)")
     p.add_argument("--debug-image", action="store_true")
     return p
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    # conversion / merge modes take free-form positionals
+    import argparse as _ap
+    pre = _ap.ArgumentParser(add_help=False)
+    for flag in ("--binary-to-txt", "--txt-to-binary", "--merge-match-files",
+                 "--matches-as-txt"):
+        pre.add_argument(flag, action="store_true")
+    known, _ = pre.parse_known_args(argv)
     from visionworkbench_tpu.interest import (
         from_numpy, match_points, matched_coordinates, read_binary_ip_file,
-        write_binary_match_file, match_filename,
+        read_binary_match_file, read_text_match_file, write_binary_match_file,
+        write_text_match_file, match_filename,
     )
+    if known.binary_to_txt or known.txt_to_binary or known.merge_match_files:
+        files = [a for a in (argv if argv is not None else sys.argv[1:])
+                 if not a.startswith("-")]
+        if known.binary_to_txt:
+            src, dst = files
+            a, b = read_binary_match_file(src)
+            write_text_match_file(dst, a, b)
+            print(f"Wrote {dst}")
+            return 0
+        if known.txt_to_binary:
+            src, dst = files
+            a, b = read_text_match_file(src)
+            write_binary_match_file(dst, a, b)
+            print(f"Wrote {dst}")
+            return 0
+        # merge: inputs... output (last); duplicates removed keep-first
+        *srcs, dst = files
+        reader = read_text_match_file if known.matches_as_txt \
+            else read_binary_match_file
+        writer = write_text_match_file if known.matches_as_txt \
+            else write_binary_match_file
+        xs1, ys1, xs2, ys2, seen = [], [], [], [], set()
+        for f in srcs:
+            a, b = reader(f)
+            for i in range(len(a["x"])):
+                key = (float(a["x"][i]), float(a["y"][i]),
+                       float(b["x"][i]), float(b["y"][i]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                xs1.append(a["x"][i]); ys1.append(a["y"][i])
+                xs2.append(b["x"][i]); ys2.append(b["y"][i])
+        writer(dst, {"x": np.asarray(xs1), "y": np.asarray(ys1)},
+               {"x": np.asarray(xs2), "y": np.asarray(ys2)})
+        print(f"Merged {len(srcs)} files -> {dst} ({len(xs1)} matches)")
+        return 0
+
+    args = build_parser().parse_args(argv)
     from visionworkbench_tpu.math.ransac import ransac
 
     im1, im2 = args.images
@@ -43,7 +104,8 @@ def main(argv=None) -> int:
     d2 = read_binary_ip_file(vwip2)
     p1 = from_numpy(d1)
     p2 = from_numpy(d2)
-    m = match_points(p1, p2, ratio=args.matcher_threshold)
+    m = match_points(p1, p2, ratio=args.matcher_threshold,
+                     metric=args.distance_metric)
     c1, c2 = matched_coordinates(p1, p2, m)
     # many-to-one matches pruned keep-last, like the reference
     # (ipmatch.cc:380 -> remove_duplicates)
@@ -62,10 +124,15 @@ def main(argv=None) -> int:
         except Exception as e:
             print(f"RANSAC failed ({e}); keeping raw matches")
     out = match_filename(args.output_prefix, im1, im2)
-    write_binary_match_file(
-        out,
-        {"x": c1[:, 0], "y": c1[:, 1]},
-        {"x": c2[:, 0], "y": c2[:, 1]})
+    if args.matches_as_txt:
+        out = out[:-len(".match")] + ".txt"
+        write_text_match_file(out, {"x": c1[:, 0], "y": c1[:, 1]},
+                              {"x": c2[:, 0], "y": c2[:, 1]})
+    else:
+        write_binary_match_file(
+            out,
+            {"x": c1[:, 0], "y": c1[:, 1]},
+            {"x": c2[:, 0], "y": c2[:, 1]})
     print(f"Wrote {out}")
 
     if args.debug_image:

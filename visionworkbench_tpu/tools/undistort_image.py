@@ -16,6 +16,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--interpolation-method", choices=["bilinear", "bicubic"],
                    default="bilinear")
+    p.add_argument("--output-nodata-value", type=float, default=None,
+                   help="nodata value recorded in the output TIFF "
+                        "(ref undistort_image.cc)")
     return p
 
 
@@ -31,7 +34,8 @@ def main(argv=None) -> int:
                                      interp=args.interpolation_method))
     out_path = args.output or (args.image.rsplit(".", 1)[0] + "_undist.tif")
     if out_path.lower().endswith((".tif", ".tiff")):
-        write_tiff(out_path, out.astype(np.float32))
+        write_tiff(out_path, out.astype(np.float32),
+                   nodata=args.output_nodata_value)
     else:
         write_image(out_path, out)
     print(f"Wrote {out_path}")
