@@ -427,10 +427,14 @@ def pyramid_correlate(left, right, search_region: BBox2i,
             # Level 0 (the forward pass when parabola patches are off, and
             # the RL consistency search) through the VMEM-resident kernel:
             # the plain no-patch variant measures 3.94 ms vs the XLA
-            # engine's 6.16 on the flagship stage. Coarse levels stay XLA —
-            # their sweeps are sub-ms and each kernel shape costs a
-            # separate multi-minute remote Mosaic compile.
-            if pallas_ok and last_:
+            # engine's 6.16 on the flagship stage. Round 5: coarse levels
+            # route through the kernel too by DEFAULT — measured 133.2 ->
+            # 136.2 Mp/s same-day (the coarse XLA sweeps were 0.46 ms +
+            # 0.16 ms of tile gathers) at the cost of one extra remote
+            # Mosaic compile per level shape; VWTPU_SWEEP_COARSE=0 keeps
+            # the old sub-ms-XLA behavior (faster first compile).
+            coarse_kernel = os.environ.get("VWTPU_SWEEP_COARSE", "1") == "1"
+            if pallas_ok and (last_ or coarse_kernel):
                 from visionworkbench_tpu.ops.sweep import pallas_sweep
                 d_, v_, _ = pallas_sweep(lbase_, mbase_, offsets_, t_,
                                          sx_, sy_, kw, kh, cost_type,
