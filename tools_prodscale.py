@@ -55,7 +55,14 @@ def main():
     def run(name, forward):
         def digest(l, r):
             d, v = forward(l, r)
-            return jnp.sum(d), jnp.sum(v)
+            # correctness digest: valid fraction + fraction of valid core
+            # pixels within 0.5 px of the embedded +16 shift (read with the
+            # same single scalar barrier; no full-map relay shipping)
+            core = (slice(32, -32), slice(32, -32))
+            vc = v[core]
+            ok = (jnp.abs(d[core + (0,)] - 16.0) < 0.5) & vc
+            return (jnp.sum(d), jnp.mean(vc.astype(jnp.float32)),
+                    jnp.sum(ok) / jnp.maximum(jnp.sum(vc), 1))
         fn = jax.jit(digest)
         lefts = [jnp.asarray(left_np + np.float32(i) * 1e-6)
                  for i in range(args.iters + 1)]
@@ -71,7 +78,9 @@ def main():
         rec = {"config": name, "size": n,
                "mps": round(n * n / dt / 1e6, 2),
                "ms_per_frame": round(dt * 1e3, 1),
-               "compile_s": round(compile_s, 1)}
+               "compile_s": round(compile_s, 1),
+               "valid_frac": round(float(np.asarray(out[1])), 4),
+               "correct_frac": round(float(np.asarray(out[2])), 4)}
         mem = _mem_stats()
         if mem:
             rec["memory"] = mem

@@ -242,8 +242,8 @@ def _make_sweep_kernel(tile_h: int, tile_w: int, kw: int, kh: int,
         j = pl.program_id(1)
         nx = pl.num_programs(1)
         t = i * nx + j
-        off_x = offs_ref[t, 0]
-        off_y = offs_ref[t, 1]
+        off_x = offs_ref[0, t]
+        off_y = offs_ref[1, t]
 
         # ---- DMA (aligned-down starts; remainder rolled in VMEM) ----------
         bx = j * tile_w
@@ -572,7 +572,11 @@ def _pallas_sweep(base, match, offsets, tile: int, s_x: int, s_y: int,
     mpads = [jnp.pad(m, ((0, max(need_mh - mh_in, 0)),
                          (0, max(need_mw - mw_in, 0))), mode="edge")
              for m in matches]
-    offs_flat = offsets.reshape(-1, 2).astype(jnp.int32)
+    # (2, N) not (N, 2): an SMEM prefetch array pads its MINOR dim to 128
+    # words, so (N, 2) costs N*512 B and blows the 1 MB SMEM budget at the
+    # 4096^2 frame's 64x64 tile grid (measured: 'prefetched SMEM operand
+    # 0' u8[2097152] > 1048576); the transposed layout is N*8 B.
+    offs_flat = offsets.reshape(-1, 2).astype(jnp.int32).T
 
     out4 = pl.BlockSpec((1, 1, tile_h, tile_w),
                         lambda i, j, offs: (i, j, 0, 0),
