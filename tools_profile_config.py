@@ -28,7 +28,7 @@ def _inputs(n):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, required=True, choices=[5, 7, 8])
+    ap.add_argument("--config", type=int, required=True, choices=[5, 6, 7, 8])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--size", type=int, default=1024)
@@ -43,7 +43,24 @@ def main():
     tex, left_np, right_np = _inputs(n)
     right = jnp.asarray(right_np)
 
-    if args.config == 7:
+    if args.config == 6:
+        # Pyramid SGM, exactly the tools_bench_configs.py config-6 workload
+        # (census 5x5, parabola subpixel, 64x2 search, frames at size/2).
+        from visionworkbench_tpu.math.bbox import BBox2i
+        from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
+        ns = max(n // 2, 128)
+        sgm_right = jnp.asarray(right_np[:ns, :ns])
+        sr6 = BBox2i(0, -1, 64, 2)
+
+        def fwd(l, r):
+            dm = pyramid_correlate(l, r, sr6, kernel_size=(5, 5),
+                                   max_pyramid_levels=4,
+                                   stereo_algorithm="sgm",
+                                   subpixel="parabola")
+            return dm.disparity, dm.valid
+        ins = lambda i: (jnp.asarray(left_np[:ns, :ns]  # noqa: E731
+                                     + np.float32(i + 1) * 1e-6), sgm_right)
+    elif args.config == 7:
         from visionworkbench_tpu.math.bbox import BBox2i
         from visionworkbench_tpu.stereo.pyramid_correlation import pyramid_correlate
         sr7 = BBox2i(0, -4, 64, 8)

@@ -98,6 +98,12 @@ def speckle_keep_mask(code, half_h: int, half_v: int, t: int, min_match: int,
         out_shape=jax.ShapeDtypeStruct((ng * b, w), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tr, wp), jnp.int32),
                         pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            # The roll temporaries of the unrolled window loop scale with
+            # the full row width (the slab is full-width by design): at
+            # W = 4096 the scoped-vmem need is ~25 MB vs the conservative
+            # 16 MB default. Same cap raise as ops/sweep.py.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pc)
     return out[:h]
