@@ -566,6 +566,30 @@ def _masked_mean3(v, allowed_f, inv_cnt, axis: int):
 _EXACT_TIES = os.environ.get("VWTPU_SGM_EXACT_TIES", "1") == "1"
 
 
+def _wta_stats(v, allowed):
+    """(min, multiplicity, first-argmin) over the flattened (sy*sx) axis in
+    ONE volume read — a 3-operand variadic ``lax.reduce`` (the separate
+    min + eq-count + argmin passes measured a 25% pyramid-SGM hit;
+    same-day A/B in CLAUDE.md)."""
+    h, w = v.shape[:2]
+    vm = jnp.where(allowed, v, _INF).reshape(h, w, -1)
+    ids = lax.broadcasted_iota(jnp.int32, vm.shape, 2)
+
+    def comb(a, b):
+        mv1, c1, a1 = a
+        mv2, c2, a2 = b
+        lt = mv1 < mv2
+        gt = mv2 < mv1
+        mn = jnp.minimum(mv1, mv2)
+        cnt = jnp.where(lt, c1, jnp.where(gt, c2, c1 + c2))
+        arg = jnp.where(lt, a1, jnp.where(gt, a2, jnp.minimum(a1, a2)))
+        return mn, cnt, arg
+
+    return lax.reduce(
+        (vm, jnp.ones_like(vm, jnp.int32), ids),
+        (_INF, jnp.int32(0), jnp.int32(2 ** 30)), comb, (2,))
+
+
 def _tie_smooth_select(acc, allowed):
     """``select_best_disparity`` (SGM.cc:1159-1284): when a pixel's minimum
     accumulated cost is not unique, smooth its bounds rectangle with 3-tap
@@ -581,27 +605,7 @@ def _tie_smooth_select(acc, allowed):
     af = allowed.astype(acc.dtype)
 
     def stats(v):
-        """(min, multiplicity, first-argmin) in ONE volume read — a
-        3-operand variadic ``lax.reduce`` (the separate min + eq-count +
-        argmin passes measured a 25% pyramid-SGM hit; same-day A/B in
-        CLAUDE.md)."""
-        vm = jnp.where(allowed, v, _INF).reshape(h, w, sy * sx)
-        ids = lax.broadcasted_iota(jnp.int32, vm.shape, 2)
-
-        def comb(a, b):
-            mv1, c1, a1 = a
-            mv2, c2, a2 = b
-            lt = mv1 < mv2
-            gt = mv2 < mv1
-            mn = jnp.minimum(mv1, mv2)
-            cnt = jnp.where(lt, c1, jnp.where(gt, c2, c1 + c2))
-            arg = jnp.where(lt, a1, jnp.where(gt, a2, jnp.minimum(a1, a2)))
-            return mn, cnt, arg
-
-        mn, cnt, arg = lax.reduce(
-            (vm, jnp.ones_like(vm, jnp.int32), ids),
-            (_INF, jnp.int32(0), jnp.int32(2 ** 30)), comb, (2,))
-        return mn, cnt, arg
+        return _wta_stats(v, allowed)
 
     if not _EXACT_TIES:
         vm = jnp.where(allowed, acc, _INF).reshape(h, w, sy * sx)
@@ -655,6 +659,82 @@ def _tie_smooth_select(acc, allowed):
     return lax.cond(jnp.any(cnt0 > 1), smooth, no_ties, None)
 
 
+def _winner_z(v, dx, dy):
+    """The 3x3 ``(dy+ddy, dx+ddx)`` neighborhood of each pixel's winner,
+    edge-clamped: z[0..8] with ddx fastest (z[4] = center). Fused select
+    chain over the volume planes (per-pixel gathers are pathological on
+    this toolchain); clamped indexing is value-identical to reading the
+    edge-padded volume like ``_volume_argmin_subpixel``'s extraction."""
+    h, w, sy, sx = v.shape
+    zeros = jnp.zeros((h, w), v.dtype)
+    z = [zeros] * 9
+    for a in range(sy):
+        rows = (jnp.clip(dy - 1, 0, sy - 1) == a, dy == a,
+                jnp.clip(dy + 1, 0, sy - 1) == a)
+        for b in range(sx):
+            plane = v[:, :, a, b]
+            cols = (jnp.clip(dx - 1, 0, sx - 1) == b, dx == b,
+                    jnp.clip(dx + 1, 0, sx - 1) == b)
+            for jy in range(3):
+                for jx in range(3):
+                    k = jy * 3 + jx
+                    z[k] = jnp.where(rows[jy] & cols[jx], plane, z[k])
+    return z
+
+
+# Formulation knob: 1 = the stats-form cascade below, which freezes only
+# the winner argmin + its 3x3 neighborhood planes per iteration instead of
+# the whole volume. MEASURED WORSE (79.5 vs 86.1 Mp/s config 6, same-day
+# clean-process A/B, round 5): the nine per-iteration ``_winner_z`` select
+# chains are full volume re-reads that do not fuse into the mean pass, so
+# they ADD a stream instead of replacing the two frozen-volume streams.
+# Third refutation for this cascade (after while_loop and per-iteration
+# cond); the unrolled select cascade measures >= 87% of HBM peak under a
+# conservative 4-stream count — structural. See docs/roofline.md round 5.
+_TIE_STATS = os.environ.get("VWTPU_SGM_TIE_STATS", "0") == "1"
+
+
+def _tie_smooth_stats(acc, allowed):
+    """``_tie_smooth_select`` + winner-neighborhood extraction WITHOUT
+    materializing the per-pixel frozen volume (the subpixel step only ever
+    reads the winner's 3x3 neighborhood, and every caller discards the
+    returned volume): per iteration, freeze the argmin plane and the nine
+    neighborhood planes where the pixel just resolved — 10 (H, W) plane
+    selects (~0.4 volumes at 5x5) instead of two volume-sized streams.
+    Bit-identical outputs by construction (same v_k, same argmin, same
+    neighborhood values at each pixel's freeze iteration); pinned by the
+    oracle parity + interpret tests run under ``VWTPU_SGM_TIE_STATS=1``.
+
+    Returns (argmin flat index (H, W) int32, z[0..8] winner planes)."""
+    h, w, sy, sx = acc.shape
+    af = allowed.astype(acc.dtype)
+    _, cnt0, arg0 = _wta_stats(acc, allowed)
+    z0 = _winner_z(acc, arg0 % sx, arg0 // sx)
+
+    def no_ties(_):
+        return (arg0, *z0)
+
+    def smooth(_):
+        inv = {}
+        for ax in (2, 3):
+            cnt = af + _sh3(af, 1, ax) + _sh3(af, -1, ax)
+            inv[ax] = 1.0 / jnp.maximum(cnt, 1.0)
+        v, arg, z, done = acc, arg0, list(z0), cnt0 <= 1
+        for k in range(1, 7):
+            ax = 3 if k <= 5 else 2
+            v = _masked_mean3(v, af, inv[ax], axis=ax)
+            _, cnt_k, arg_k = _wta_stats(v, allowed)
+            zk = _winner_z(v, arg_k % sx, arg_k // sx)
+            upd = ~done
+            arg = jnp.where(upd, arg_k, arg)
+            z = [jnp.where(upd, zk[i], z[i]) for i in range(9)]
+            done = done | (cnt_k <= 1)
+        return (arg, *z)
+
+    out = lax.cond(jnp.any(cnt0 > 1), smooth, no_ties, None)
+    return out[0], list(out[1:])
+
+
 def _volume_argmin_subpixel(acc, subpixel: str, bad: float):
     """WTA argmin over the aggregated volume (H, W, sy, sx) + subpixel
     (ref ``create_disparity_view`` + ``create_disparity_view_subpixel``,
@@ -672,36 +752,47 @@ def _volume_argmin_subpixel(acc, subpixel: str, bad: float):
     h, w, sy, sx = acc.shape
     bad_total = N_PATHS * bad
     allowed = acc < bad_total - 0.5
-    acc, best = _tie_smooth_select(acc, allowed)
-    flat = acc.reshape(h, w, sy * sx)
-    dx = best % sx
-    dy = best // sx
-    disp = jnp.stack([dx, dy], -1)
-    if subpixel == "none":
-        return disp.astype(jnp.float32), flat
-    padded = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    # The 3x3 neighborhood of each winner, z[0..8] with dx fastest
-    # (z[4] = center). Fused select-chain over the (small) padded volume:
-    # per-pixel gathers cost ~3.5 ms per 0.26 Mpx plane on this toolchain
-    # (five gathers dominated the whole SGM profile in round 1); the static
-    # loop fuses into one elementwise pass.
-    if (sy + 2) * (sx + 2) <= 256:
-        zeros = jnp.zeros((h, w), acc.dtype)
-        z = [zeros] * 9
-        for a in range(sy + 2):
-            rows = (dy == a, dy + 1 == a, dy + 2 == a)   # ddy = -1, 0, +1
-            for b in range(sx + 2):
-                plane = padded[:, :, a, b]
-                cols = (dx == b, dx + 1 == b, dx + 2 == b)
-                for jy in range(3):
-                    for jx in range(3):
-                        k = jy * 3 + jx
-                        z[k] = jnp.where(rows[jy] & cols[jx], plane, z[k])
+    if (_TIE_STATS and _EXACT_TIES and subpixel != "none"
+            and (sy + 2) * (sx + 2) <= 256):
+        # Stats-form cascade: no frozen volume is ever materialized; the
+        # returned ``flat`` is the UNSMOOTHED volume (every caller discards
+        # it — XLA DCEs the reshape).
+        best, z = _tie_smooth_stats(acc, allowed)
+        flat = acc.reshape(h, w, sy * sx)
+        dx = best % sx
+        dy = best // sx
+        disp = jnp.stack([dx, dy], -1)
     else:
-        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        z = [padded[yy, xx, dy + jy, dx + jx]
-             for jy in range(3) for jx in range(3)]
+        acc, best = _tie_smooth_select(acc, allowed)
+        flat = acc.reshape(h, w, sy * sx)
+        dx = best % sx
+        dy = best // sx
+        disp = jnp.stack([dx, dy], -1)
+        if subpixel == "none":
+            return disp.astype(jnp.float32), flat
+        padded = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+        # The 3x3 neighborhood of each winner, z[0..8] with dx fastest
+        # (z[4] = center). Fused select-chain over the (small) padded
+        # volume: per-pixel gathers cost ~3.5 ms per 0.26 Mpx plane on this
+        # toolchain (five gathers dominated the whole SGM profile in round
+        # 1); the static loop fuses into one elementwise pass.
+        if (sy + 2) * (sx + 2) <= 256:
+            zeros = jnp.zeros((h, w), acc.dtype)
+            z = [zeros] * 9
+            for a in range(sy + 2):
+                rows = (dy == a, dy + 1 == a, dy + 2 == a)  # ddy = -1, 0, +1
+                for b in range(sx + 2):
+                    plane = padded[:, :, a, b]
+                    cols = (dx == b, dx + 1 == b, dx + 2 == b)
+                    for jy in range(3):
+                        for jx in range(3):
+                            k = jy * 3 + jx
+                            z[k] = jnp.where(rows[jy] & cols[jx], plane, z[k])
+        else:
+            yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            z = [padded[yy, xx, dy + jy, dx + jx]
+                 for jy in range(3) for jx in range(3)]
     absent = [v >= bad_total - 0.5 for v in z]
     left_b = (dx == 0) | absent[3]
     right_b = (dx == sx - 1) | absent[5]
