@@ -32,6 +32,7 @@ classifies band rows exactly), and parabola subpixel.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -55,7 +56,7 @@ from visionworkbench_tpu.stereo.disparity import (
 from visionworkbench_tpu.stereo.prefilter import PREFILTER_NONE, prefilter_image
 from visionworkbench_tpu.stereo.pyramid_correlation import (
     _blur_downsample, _cdiv, _mask_downsample, _tile_offsets, _tiled_search,
-    max_pyramid_levels_for,
+    _tiled_search_patches, max_pyramid_levels_for,
 )
 
 
@@ -177,6 +178,64 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
     if prefilter_mode != PREFILTER_NONE:
         pf_halo = int(7 * prefilter_width) // 2 + 2
 
+    # Route band searches through the VMEM-resident Pallas sweep kernel on
+    # TPU, same support condition as the monolithic engine (which measured
+    # the kernel 1.3-1.6x the XLA zone engine per sweep; the 4096^2
+    # hierarchical-1dev row in docs/roofline.md was 2.6x off the flagship
+    # largely because these sweeps ran the XLA engine). pallas_call inside
+    # shard_map executes per-shard; the CPU virtual meshes (tests, dryrun)
+    # keep the XLA engine via the platform check.
+    use_kernel = (not sgm_mode
+                  and os.environ.get("VWTPU_SWEEP_PALLAS", "1") == "1"
+                  and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
+                                    "ternary_census", "ncc"))
+    if use_kernel and cost_type in ("census", "ternary_census"):
+        from visionworkbench_tpu.ops.sweep import _CENSUS_INFO
+        use_kernel = ((cost_type == "ternary_census",
+                       int(census_window)) in _CENSUS_INFO)
+    if use_kernel:
+        from visionworkbench_tpu.stereo.sgm import _pallas_target_platform
+        use_kernel = _pallas_target_platform() == "tpu"
+
+    def _band_search(lbase_, mbase_, offsets_, sxe, sye):
+        """One band-level sweep: Pallas kernel on TPU, XLA engine elsewhere.
+        Both take the identical (base, match, per-tile offsets) frames and
+        return (disp, valid) in the same tile-relative convention."""
+        if use_kernel:
+            from visionworkbench_tpu.ops.sweep import pallas_sweep
+            d_, v_, _ = pallas_sweep(lbase_, mbase_, offsets_, t, sxe, sye,
+                                     kw, kh, cost_type, want_patches=False,
+                                     census_window=int(census_window))
+            return d_, v_
+        return _tiled_search(lbase_, mbase_, offsets_, t, sxe, sye,
+                             kw, kh, cost_type, census_window)
+
+    # Parabola via cost-volume patch reuse, exactly like the monolithic
+    # engine's level-0 default (pyramid_correlation.py use_patches): the
+    # nine parabola costs are entries of the cost volume the band sweep
+    # already computed, captured during the sweep instead of re-derived by
+    # a full-band SAD re-evaluation pass (which the hierarchical profile
+    # measured at ~7.7 of 13.9 ms/frame device at 1024^2/1-dev).
+    use_patches = (subpixel == "parabola" and not sgm_mode
+                   and cost_type in (ABSOLUTE_DIFFERENCE, "sq", "census",
+                                     "ternary_census")
+                   and os.environ.get("VWTPU_PARA_PATCHES", "1") == "1")
+
+    def _band_search_patches(lbase_, mbase_p, offsets_, sxe, sye):
+        """Level-0 sweep that also captures each winner's 3x3 cost patch.
+        ``mbase_p``: the match frame with origin shifted (-1, -1) and +2
+        extent per axis (the ±1 disparity ring), like the monolithic call."""
+        if use_kernel:
+            from visionworkbench_tpu.ops.sweep import pallas_sweep
+            d_, v_, p_ = pallas_sweep(lbase_, mbase_p, offsets_, t, sxe, sye,
+                                      kw, kh, cost_type, want_patches=True,
+                                      census_window=int(census_window),
+                                      patches_as_planes=True)
+            return d_, v_, p_
+        return _tiled_search_patches(lbase_, mbase_p, offsets_, t, sxe, sye,
+                                     kw, kh, cost_type,
+                                     census_window=census_window)
+
     def shard_fn(lblock, rblock, lmblock, rmblock):
         # Full-res bands in the stored frames.  The right band is the
         # search-origin-shifted frame: its row r = right row r + smin_y,
@@ -244,6 +303,7 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
             rmask_pyr.append(_mask_downsample(rmask_pyr[-1]))
 
         dm: Optional[DisparityMap] = None
+        patches = None
         for level in range(levels, -1, -1):
             scaling = 1 << level
             on_last = level == 0
@@ -341,9 +401,23 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                 mbase = crop_extended(mbase, lx0, 0, lbw + s_w_l - 1,
                                       mbase.shape[0], mode="constant")
 
-                disp, valid = _tiled_search(lbase, mbase, offsets, t,
-                                            s_x_eff, s_y_eff, kw, kh,
-                                            cost_type, census_window)
+                if on_last and use_patches:
+                    mrows_p = halo_exchange_rows(
+                        rpyr[level], half_kh + 1,
+                        half_kh + row_pad + s_h_l)
+                    mbase_p = crop_extended(mrows_p, lx0 - 1, 0,
+                                            lbw + s_w_l + 1,
+                                            mrows_p.shape[0],
+                                            mode="constant")
+                    disp, valid, patches = _band_search_patches(
+                        lbase, mbase_p, offsets, s_x_eff, s_y_eff)
+                    if isinstance(patches, (list, tuple)):
+                        patches = tuple(p[:band_l, :out_w] for p in patches)
+                    else:
+                        patches = patches[:band_l, :out_w]
+                else:
+                    disp, valid = _band_search(lbase, mbase, offsets,
+                                               s_x_eff, s_y_eff)
                 dm = DisparityMap(disp[:band_l, :out_w],
                                   valid[:band_l, :out_w])
 
@@ -374,9 +448,8 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                 rl_match = crop_extended(rl_match, lx0 - margin_x, 0,
                                          rbw + s_x_eff - 1 + margin_x,
                                          rl_match.shape[0], mode="constant")
-                rl_disp, rl_valid = _tiled_search(
-                    rl_base, rl_match, neg_off + rl_origin, t, s_x_eff,
-                    s_y_eff, kw, kh, cost_type, census_window)
+                rl_disp, rl_valid = _band_search(
+                    rl_base, rl_match, neg_off + rl_origin, s_x_eff, s_y_eff)
                 rl_disp = (rl_disp - rl_origin)[:band_l, :rl_out_w]
                 rl_valid = rl_valid[:band_l, :rl_out_w]
                 rl_dm = DisparityMap(
@@ -441,7 +514,12 @@ def hierarchical_sharded_correlate(left, right, search_region: BBox2i,
                                                dm.disparity.dtype), 0),
             dm.valid)
 
-        if subpixel == "parabola" and not sgm_mode:
+        if subpixel == "parabola" and not sgm_mode and patches is not None:
+            from visionworkbench_tpu.stereo.subpixel import _fit_parabola
+            final = DisparityMap(
+                _fit_parabola(patches, final.disparity, final.valid),
+                final.valid)
+        elif subpixel == "parabola" and not sgm_mode:
             from visionworkbench_tpu.stereo.subpixel import (
                 MAX_SUBPIXEL_SHIFT, parabola_subpixel,
             )
