@@ -26,3 +26,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_compiler_state():
+    """Free compiled executables between test modules.
+
+    The full suite compiles many hundreds of XLA:CPU programs in one
+    process; past ~45 minutes the accumulated compiler/runtime state can
+    segfault a later compile inside ``backend_compile_and_load`` (observed
+    twice in ``test_tools`` — the alphabetically last heavy module — while
+    every module passes in isolation). Dropping the jit caches per module
+    bounds that state; per-module recompiles cost little because modules
+    share few jitted signatures."""
+    yield
+    jax.clear_caches()
